@@ -1,0 +1,104 @@
+"""Jittable linear sum assignment (Hungarian algorithm with potentials).
+
+The reference's ``HungarianPointAssigner`` hops to CPU scipy every train
+step (`mmdet/core/bbox/assigners/hungarian_point_assigner.py:91-109` —
+a device sync on the hot path). Costs here are tiny (max_gt x 100), so we
+run the O(n^2 m) shortest-augmenting-path Hungarian entirely on device
+with ``lax`` loops: no host round-trip, fully fused into the train step.
+
+Exactness: this is the standard e-maxx/scipy algorithm, not an
+approximation — results match ``scipy.optimize.linear_sum_assignment``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["linear_sum_assignment"]
+
+_INF = jnp.float32(1e30)
+
+
+@jax.jit
+def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-cost one-to-one assignment of rows to columns.
+
+    Args:
+        cost: (n, m) float cost matrix with n <= m. Rows that should not
+            participate can carry any constant cost (their matches are
+            arbitrary free columns and do not disturb the others).
+
+    Returns:
+        (n,) int32 column index assigned to each row.
+    """
+    n, m = cost.shape
+    cost = cost.astype(jnp.float32)
+
+    def solve_row(i, state):
+        u, v, p = state  # u: (n,), v: (m,), p: (m,) matched row per col (-1 free)
+
+        minv0 = jnp.full((m,), _INF)
+        used0 = jnp.zeros((m,), dtype=jnp.bool_)
+        way0 = jnp.full((m,), -1, dtype=jnp.int32)
+
+        def dj_cond(s):
+            _, _, _, _, _, _, j0, done = s
+            del j0
+            return jnp.logical_not(done)
+
+        def dj_body(s):
+            u, v, minv, used, way, i0, j0, _ = s
+            cur = cost[i0] - u[i0] - v
+            better = (~used) & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            j1 = jnp.argmin(jnp.where(used, _INF, minv))
+            delta = jnp.where(used[j1], 0.0, minv[j1])
+            # rows on the alternating tree: matched rows of used cols + i
+            on_path_rows = jnp.zeros((n,), dtype=jnp.bool_)
+            safe_rows = jnp.where(p >= 0, p, 0)
+            on_path_rows = on_path_rows.at[safe_rows].max(used & (p >= 0))
+            on_path_rows = on_path_rows.at[i].set(True)
+            u = jnp.where(on_path_rows, u + delta, u)
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            used = used.at[j1].set(True)
+            nxt_row = p[j1]
+            done = nxt_row < 0
+            i0 = jnp.where(done, i0, nxt_row)
+            return u, v, minv, used, way, i0, j1, done
+
+        u, v, _, _, way, _, j_free, _ = jax.lax.while_loop(
+            dj_cond, dj_body, (u, v, minv0, used0, way0, i, jnp.int32(-1), jnp.bool_(False))
+        )
+
+        # augment along way[] back from the free column
+        def aug_cond(s):
+            j0, _ = s
+            return j0 >= 0
+
+        def aug_body(s):
+            j0, p = s
+            j1 = way[j0]
+            new_row = jnp.where(j1 < 0, i, p[jnp.maximum(j1, 0)])
+            p = p.at[j0].set(new_row)
+            return j1, p
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j_free, p))
+        return u, v, p
+
+    u0 = jnp.zeros((n,))
+    v0 = jnp.zeros((m,))
+    p0 = jnp.full((m,), -1, dtype=jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, n, solve_row, (u0, v0, p0))
+
+    # invert: col assigned to each row
+    row4col = p  # (m,)
+    col_for_row = jnp.full((n,), -1, dtype=jnp.int32)
+    cols = jnp.arange(m, dtype=jnp.int32)
+    safe = jnp.where(row4col >= 0, row4col, 0)
+    col_for_row = col_for_row.at[safe].max(jnp.where(row4col >= 0, cols, -1))
+    return col_for_row
