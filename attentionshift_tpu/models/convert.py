@@ -1,0 +1,170 @@
+"""Torch MAE checkpoint -> flax parameter conversion.
+
+Replaces the reference's ``load_checkpoint(strict=False)`` MAE-pretrain
+init (`mmcv_custom/checkpoint.py:286-358`, key filtering at
+`mae_bbox_head_rec.py:107-116`): torch ``state_dict`` tensors are mapped
+onto the flax ``VisionTransformerDet`` tree, with bicubic pos-embed
+re-interpolation when the stored grid differs. Keys that have no flax
+counterpart (decoder/point heads not present in the pretrain) are left at
+their random init, mirroring strict=False.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+__all__ = ["load_torch_state_dict", "mae_to_vit_params"]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth checkpoint into {key: np.ndarray} on host."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return {k: v.detach().numpy() for k, v in ckpt.items() if hasattr(v, "detach")}
+
+
+def _set(tree: Dict[str, Any], path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def mae_to_vit_params(
+    state: Mapping[str, np.ndarray],
+    params: Dict[str, Any],
+    depth: int = 12,
+) -> Dict[str, Any]:
+    """Graft MAE encoder weights onto a VisionTransformerDet param tree.
+
+    Args:
+        state: torch state_dict arrays (encoder naming: ``patch_embed.proj``,
+            ``cls_token``, ``pos_embed``, ``blocks.N.{norm1,attn,norm2,mlp}``).
+        params: the flax 'params' dict from ``model.init`` (modified copy
+            returned; input is not mutated).
+
+    Returns:
+        new params dict with loaded weights (float32).
+    """
+    import copy
+
+    out = copy.deepcopy(params)
+
+    def linear(src_prefix: str, dst_path: list[str]):
+        w = state.get(f"{src_prefix}.weight")
+        b = state.get(f"{src_prefix}.bias")
+        if w is not None:
+            _set(out, dst_path + ["kernel"], np.ascontiguousarray(w.T.astype(np.float32)))
+        if b is not None:
+            _set(out, dst_path + ["bias"], b.astype(np.float32))
+
+    def layernorm(src_prefix: str, dst_path: list[str]):
+        w = state.get(f"{src_prefix}.weight")
+        b = state.get(f"{src_prefix}.bias")
+        if w is not None:
+            _set(out, dst_path + ["scale"], w.astype(np.float32))
+        if b is not None:
+            _set(out, dst_path + ["bias"], b.astype(np.float32))
+
+    if "patch_embed.proj.weight" in state:
+        w = state["patch_embed.proj.weight"]  # (D, 3, k, k)
+        _set(
+            out,
+            ["patch_embed", "proj", "kernel"],
+            np.ascontiguousarray(w.transpose(2, 3, 1, 0).astype(np.float32)),
+        )
+        _set(out, ["patch_embed", "proj", "bias"], state["patch_embed.proj.bias"].astype(np.float32))
+    if "cls_token" in state:
+        out["cls_token"] = state["cls_token"].astype(np.float32)
+    if "pos_embed" in state and "pos_embed" in out:
+        pe = state["pos_embed"].astype(np.float32)  # (1, N+1, D)
+        tgt = out["pos_embed"]
+        if pe.shape != tgt.shape:
+            pe = _resize_pos_embed(pe, tgt.shape)
+        out["pos_embed"] = pe
+
+    for i in range(depth):
+        src = f"blocks.{i}"
+        dst = f"blocks_{i}"
+        if f"{src}.norm1.weight" not in state:
+            continue
+        layernorm(f"{src}.norm1", [dst, "norm1"])
+        layernorm(f"{src}.norm2", [dst, "norm2"])
+        linear(f"{src}.attn.qkv", [dst, "attn", "qkv"])
+        linear(f"{src}.attn.proj", [dst, "attn", "proj"])
+        linear(f"{src}.mlp.fc1", [dst, "mlp", "fc1"])
+        linear(f"{src}.mlp.fc2", [dst, "mlp", "fc2"])
+    return out
+
+
+def _resize_pos_embed(pe: np.ndarray, tgt_shape) -> np.ndarray:
+    """Bicubic-resize a (1, N+1, D) pos embed to a new grid size."""
+    import jax.numpy as jnp
+
+    from ..models.layers import interpolate_pos_embed
+
+    n_tgt = tgt_shape[1] - 1
+    side = int(round(float(np.sqrt(n_tgt))))
+    res = interpolate_pos_embed(jnp.asarray(pe), side, side, num_prefix=1)
+    return np.asarray(res, dtype=np.float32)
+
+
+def mae_to_decoder_params(
+    state: Mapping[str, np.ndarray],
+    params: Dict[str, Any],
+    depth: int = 4,
+) -> Dict[str, Any]:
+    """Graft MAE *decoder* weights onto a decoder-style RoI head tree.
+
+    The reference heads load every checkpoint key except
+    ``patch_embed*/blocks*/pos_embed`` (`mae_bbox_head_rec.py:107-116`) so
+    ``decoder_embed``, ``decoder_blocks.N.*`` and ``norm`` land in the
+    head. Same mapping here for heads exposing ``decoder_blocks_N``.
+    """
+    import copy
+
+    out = copy.deepcopy(params)
+
+    def linear(src_prefix, dst_path):
+        w = state.get(f"{src_prefix}.weight")
+        b = state.get(f"{src_prefix}.bias")
+        if w is not None and _has(out, dst_path):
+            _set(out, dst_path + ["kernel"], np.ascontiguousarray(w.T.astype(np.float32)))
+            if b is not None:
+                _set(out, dst_path + ["bias"], b.astype(np.float32))
+
+    def layernorm(src_prefix, dst_path):
+        w = state.get(f"{src_prefix}.weight")
+        b = state.get(f"{src_prefix}.bias")
+        if w is not None and _has(out, dst_path):
+            _set(out, dst_path + ["scale"], w.astype(np.float32))
+            _set(out, dst_path + ["bias"], b.astype(np.float32))
+
+    def _has(tree, path):
+        node = tree
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        return True
+
+    linear("decoder_embed", ["decoder_embed"])
+    layernorm("norm", ["norm"])
+    for i in range(depth):
+        src = f"decoder_blocks.{i}"
+        dst = f"decoder_blocks_{i}"
+        layernorm(f"{src}.norm1", [dst, "norm1"])
+        layernorm(f"{src}.norm2", [dst, "norm2"])
+        linear(f"{src}.attn.qkv", [dst, "attn", "qkv"])
+        linear(f"{src}.attn.proj", [dst, "attn", "proj"])
+        linear(f"{src}.mlp.fc1", [dst, "mlp", "fc1"])
+        linear(f"{src}.mlp.fc2", [dst, "mlp", "fc2"])
+    return out

@@ -1,0 +1,185 @@
+"""Transformer building blocks (flax.linen) with attention capture.
+
+Functional rebuild of the DINO/timm blocks the reference uses everywhere
+(`models/vision_transformer.py:43-124`): Mlp, multi-head Attention that
+can also return the head-averaged attention matrix (the raw material of
+the attention-shift pseudo-label engine), pre-norm Block with optional
+drop-path, and the fixed 2-D sin-cos position embedding used by the
+decoder heads (`mmdet/models/utils/positional_encoding.py` analog).
+
+The captured attention is ``stop_gradient``-ed: the reference only ever
+consumes it inside no-grad pseudo-label math, so excluding it from the
+backward pass is numerically equivalent and saves the N^2 backward
+buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Mlp", "Attention", "Block", "PatchEmbed", "get_2d_sincos_pos_embed", "interpolate_pos_embed"]
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention; optionally emits mean-head attn probs.
+
+    Mirrors `models/vision_transformer.py:62-86` (qkv fused projection,
+    scale = head_dim**-0.5). With ``capture=True`` the softmax matrix is
+    materialised, head-averaged, and returned detached.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, capture: bool = False):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+        q = q.transpose(0, 2, 1, 3)  # (B, H, N, d)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        if capture:
+            attn_mean = jax.lax.stop_gradient(probs.mean(axis=1))  # (B, N, N)
+            return out, attn_mean
+        return out, None
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (`models/vision_transformer.py:88-124`).
+
+    ``capture`` and ``deterministic`` are module fields (not call args) so
+    the block can be wrapped in ``nn.remat`` without static-arg plumbing.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    capture: bool = False
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        y, attn = Attention(
+            self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x), self.capture)
+        x = x + self._drop_path(y)
+        z = Mlp(int(dim * self.mlp_ratio), dim, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        )
+        x = x + self._drop_path(z)
+        if self.capture:
+            return x, attn
+        return x, None
+
+    def _drop_path(self, x):
+        if self.drop_path == 0.0 or self.deterministic:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x / keep * mask
+
+
+class PatchEmbed(nn.Module):
+    """Conv stride-16 patchifier (`models/vision_transformer.py:126-140`)."""
+
+    embed_dim: int
+    patch_size: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3) channel-last (TPU layout)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return x  # (B, Hp, Wp, D)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
+    """Fixed 2-D sin-cos positional embedding (MAE convention)."""
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.meshgrid(grid_w, grid_h)  # w goes first
+    grid = np.stack(grid, axis=0).reshape(2, 1, grid_size, grid_size)
+
+    def emb_1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = emb_1d(embed_dim // 2, grid[0])
+    emb_w = emb_1d(embed_dim // 2, grid[1])
+    pos = np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    if cls_token:
+        pos = np.concatenate([np.zeros((1, embed_dim), np.float32), pos], axis=0)
+    return pos
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray, hp: int, wp: int, num_prefix: int = 1
+) -> jnp.ndarray:
+    """Bicubic-resize the patch grid of a (1, P + prefix, D) pos embed.
+
+    Matches ``interpolate_pos_encoding`` (`models/vision_transformer.py:
+    187-207`): the stored square grid is resized to (hp, wp) with torch
+    bicubic (A=-0.75) half-pixel sampling.
+    """
+    from ..ops.image import resize
+
+    prefix = pos_embed[:, :num_prefix]
+    patch = pos_embed[:, num_prefix:]
+    n = patch.shape[1]
+    side = int(round(float(np.sqrt(n))))
+    if side * side != n:
+        raise ValueError(f"pos embed grid is not square: {n}")
+    if (side, side) == (hp, wp):
+        return pos_embed
+    d = patch.shape[-1]
+    grid = patch.reshape(1, side, side, d).transpose(0, 3, 1, 2)  # (1, D, s, s)
+    grid = resize(grid, (hp, wp), method="bicubic")
+    grid = grid.transpose(0, 2, 3, 1).reshape(1, hp * wp, d)
+    return jnp.concatenate([prefix, grid], axis=1)

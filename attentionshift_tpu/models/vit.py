@@ -1,0 +1,180 @@
+"""ViT detection backbone with point tokens and attention capture.
+
+TPU-native rebuild of ``VisionTransformerDet``
+(`mmdet/models/backbones/visual_transformer_det.py:61-275`):
+
+- patchify + cls token + bicubic-interpolated learnable pos embed,
+- 100 learnable "point tokens" with their own pos embeds appended after
+  the patch tokens (`visual_transformer_det.py:192-214`),
+- per-block head-averaged attention capture for the trailing
+  ``capture_layers`` blocks (only those feed the rollout,
+  `stdroi_point_deform_attn_reppoints.py:2261`) — the reference keeps all
+  12 full maps; we keep just the needed window,
+- feature taps at ``out_indices`` deconv/identity/maxpool-ed into a
+  4-scale pyramid (`visual_transformer_det.py:106-134`),
+- DETR-style MLP class/coord heads on the point tokens
+  (`visual_transformer_det.py:264-267`).
+
+Layout is channel-last (NHWC) throughout — the native TPU conv layout.
+Per-block ``jax.checkpoint`` (remat) replaces torch checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import Block, PatchEmbed, interpolate_pos_embed
+
+__all__ = ["VisionTransformerDet"]
+
+
+class MlpHead(nn.Module):
+    """3-layer relu MLP (`visual_transformer_det.py:26-38`)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layers_{i}")(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype, name=f"layers_{self.num_layers - 1}")(x)
+
+
+class VisionTransformerDet(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.05
+    out_indices: Sequence[int] = (3, 5, 7, 11)
+    point_tokens_num: int = 100
+    num_classes: int = 20
+    capture_layers: int = 7  # trailing blocks whose attention is kept
+    with_fpn: bool = True
+    with_point_head: bool = True
+    use_remat: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, deterministic: bool = True):
+        """Forward.
+
+        Args:
+            img: (B, H, W, 3) normalised images, H/W divisible by 16.
+
+        Returns:
+            dict with the reference output contract (SURVEY.md section 3.3),
+            channel-last:
+              feature: 4-tuple (B, H/4, W/4, D) ... (B, H/32, W/32, D)
+              org_feats: (B, 4, Hp, Wp, D) raw taps
+              point_tokens: (B, P, D)
+              outputs_class: (B, P, num_classes)
+              outputs_coord: (B, P, 2) in [0,1]
+              attns: (capture_layers, B, T, T) mean-head attention,
+                     T = 1 + Hp*Wp + P, detached
+              last_feat: (B, 1 + Hp*Wp, D) final tokens sans point tokens
+        """
+        b, h, w, _ = img.shape
+        hp, wp = h // self.patch_size, w // self.patch_size
+        n_patch = hp * wp
+        p = self.point_tokens_num
+        d = self.embed_dim
+
+        x = PatchEmbed(d, self.patch_size, dtype=self.dtype, name="patch_embed")(img)
+        x = x.reshape(b, n_patch, d)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        grid = self.img_size // self.patch_size
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, grid * grid + 1, d),
+        )
+        point_token = self.param(
+            "point_token", nn.initializers.truncated_normal(0.02), (1, p, d)
+        )
+        point_pos_embed = self.param(
+            "point_pos_embed", nn.initializers.truncated_normal(0.02), (1, p, d)
+        )
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, d)).astype(x.dtype), x], axis=1)
+        pe = interpolate_pos_embed(pos_embed, hp, wp, num_prefix=1)
+        x = x + pe.astype(x.dtype)
+        pts = (point_token + point_pos_embed).astype(x.dtype)
+        x = jnp.concatenate([x, jnp.broadcast_to(pts, (b, p, d))], axis=1)
+
+        dpr = [
+            float(r) for r in jnp.linspace(0.0, self.drop_path_rate, self.depth)
+        ]
+        capture_from = self.depth - self.capture_layers
+        feats = []
+        attns = []
+        block_cls = nn.remat(Block) if self.use_remat else Block
+        for i in range(self.depth):
+            capture = i >= capture_from
+            block = block_cls(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop_path=dpr[i],
+                capture=capture,
+                deterministic=deterministic,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            x, attn = block(x)
+            if capture:
+                attns.append(attn)
+            if i in self.out_indices:
+                xp = x[:, 1 : 1 + n_patch].reshape(b, hp, wp, d)
+                feats.append(xp)
+
+        last_feat = x[:, : 1 + n_patch]
+        point_tokens = x[:, 1 + n_patch :]
+
+        org_feats = jnp.stack(feats, axis=1)
+        if self.with_fpn:
+            feats = [
+                self._fpn1(feats[0]),
+                nn.ConvTranspose(
+                    d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn2_deconv"
+                )(feats[1]),
+                feats[2],
+                nn.max_pool(feats[3], (2, 2), strides=(2, 2)),
+            ]
+
+        ret = dict(
+            feature=tuple(feats),
+            org_feats=org_feats,
+            point_tokens=point_tokens,
+            last_feat=last_feat,
+            attns=jnp.stack(attns, axis=0) if attns else None,
+        )
+        if self.with_point_head:
+            ret["outputs_class"] = MlpHead(d, self.num_classes, dtype=self.dtype, name="class_embed")(
+                point_tokens
+            )
+            ret["outputs_coord"] = jax.nn.sigmoid(
+                MlpHead(d, 2, dtype=self.dtype, name="bbox_embed")(point_tokens)
+            )
+        return ret
+
+    def _fpn1(self, x):
+        d = self.embed_dim
+        x = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_deconv1")(x)
+        x = nn.BatchNorm(
+            use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="fpn1_bn"
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_deconv2")(x)
+        return x

@@ -1,0 +1,180 @@
+"""Backbone tests: shapes, attention capture, torch block parity, rollout."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from attentionshift_tpu.models import VisionTransformerDet, mae_to_vit_params
+from attentionshift_tpu.pseudo import attention_rollout_point_rows, augment_attention
+
+
+@pytest.fixture(scope="module")
+def tiny_vit():
+    model = VisionTransformerDet(
+        img_size=32,
+        embed_dim=32,
+        depth=4,
+        num_heads=2,
+        out_indices=(0, 1, 2, 3),
+        point_tokens_num=10,
+        num_classes=5,
+        capture_layers=3,
+        drop_path_rate=0.0,
+        use_remat=False,
+    )
+    img = jnp.zeros((1, 64, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    return model, params
+
+
+def test_backbone_output_contract(tiny_vit):
+    model, params = tiny_vit
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 64, 96, 3), jnp.float32)
+    out = model.apply(params, img)
+    hp, wp = 4, 6
+    n = hp * wp
+    t = 1 + n + 10
+    assert out["last_feat"].shape == (2, 1 + n, 32)
+    assert out["point_tokens"].shape == (2, 10, 32)
+    assert out["outputs_class"].shape == (2, 10, 5)
+    assert out["outputs_coord"].shape == (2, 10, 2)
+    assert float(out["outputs_coord"].min()) >= 0 and float(out["outputs_coord"].max()) <= 1
+    assert out["attns"].shape == (3, 2, t, t)
+    # attention rows are a distribution
+    rows = np.asarray(out["attns"]).sum(-1)
+    np.testing.assert_allclose(rows, 1.0, atol=1e-4)
+    assert out["org_feats"].shape == (2, 4, hp, wp, 32)
+    f = out["feature"]
+    assert f[0].shape == (2, hp * 4, wp * 4, 32)
+    assert f[1].shape == (2, hp * 2, wp * 2, 32)
+    assert f[2].shape == (2, hp, wp, 32)
+    assert f[3].shape == (2, hp // 2, wp // 2, 32)
+
+
+def test_remat_matches_plain(tiny_vit):
+    model, params = tiny_vit
+    model_r = model.clone(use_remat=True)
+    img = jnp.asarray(np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32)
+    a = model.apply(params, img)
+    b = model_r.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(a["last_feat"]), np.asarray(b["last_feat"]), atol=1e-5
+    )
+
+
+def test_block_matches_torch():
+    """Our flax Block vs an independent torch implementation."""
+    import torch
+
+    rng = np.random.RandomState(2)
+    dim, heads, n = 16, 4, 12
+    x = rng.randn(1, n, dim).astype(np.float32)
+
+    from attentionshift_tpu.models import Block
+
+    blk = Block(num_heads=heads, capture=True)
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = params["params"]
+
+    # torch forward with the same weights
+    tx = torch.from_numpy(x)
+
+    def dense(name, inp):
+        w = torch.from_numpy(np.asarray(p[name[0]][name[1]]["kernel"]))
+        b = torch.from_numpy(np.asarray(p[name[0]][name[1]]["bias"]))
+        return inp @ w + b
+
+    def ln(name, inp):
+        w = torch.from_numpy(np.asarray(p[name]["scale"]))
+        b = torch.from_numpy(np.asarray(p[name]["bias"]))
+        return torch.nn.functional.layer_norm(inp, (dim,), w, b, eps=1e-6)
+
+    h = ln("norm1", tx)
+    qkv = dense(("attn", "qkv"), h).reshape(1, n, 3, heads, dim // heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q, k, v = (z.permute(0, 2, 1, 3) for z in (q, k, v))
+    attn = (q @ k.transpose(-2, -1)) * (dim // heads) ** -0.5
+    attn = attn.softmax(-1)
+    y = (attn @ v).permute(0, 2, 1, 3).reshape(1, n, dim)
+    y = dense(("attn", "proj"), y)
+    t1 = tx + y
+    h2 = ln("norm2", t1)
+    m = dense(("mlp", "fc1"), h2)
+    m = torch.nn.functional.gelu(m)
+    m = dense(("mlp", "fc2"), m)
+    ref = t1 + m
+
+    out, attn_mean = blk.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(attn_mean), attn.mean(1).numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_rollout_matches_full_product():
+    """Point-row rollout == reference full-matrix recursion."""
+    rng = np.random.RandomState(3)
+    l, b, t, p = 4, 2, 15, 5
+    logits = rng.randn(l, b, t, t).astype(np.float32)
+    attns = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    # reference recursion (attns_project_to_feature)
+    aug = attns + np.eye(t, dtype=np.float32)
+    aug = aug / aug.sum(-1, keepdims=True)
+    joint = np.zeros_like(aug)
+    joint[-1] = aug[-1]
+    for i in range(2, l + 1):
+        joint[-i] = np.einsum("btu,buv->btv", joint[-(i - 1)], aug[-i])
+    reverse = joint[::-1]  # reverse_joint[i] = joint[-(i+1)]
+
+    out = attention_rollout_point_rows(jnp.asarray(attns), p)
+    ref_rows = reverse[:, :, -p:, :]
+    np.testing.assert_allclose(np.asarray(out), ref_rows, atol=1e-5, rtol=1e-4)
+
+
+def test_mae_param_conversion_roundtrip():
+    """Converted torch weights produce identical qkv projections."""
+    model = VisionTransformerDet(
+        img_size=32, embed_dim=16, depth=2, num_heads=2, point_tokens_num=4,
+        num_classes=3, capture_layers=2, use_remat=False,
+        out_indices=(0, 1), with_fpn=False,
+    )
+    img = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    params = variables["params"]
+
+    rng = np.random.RandomState(4)
+    state = {
+        "patch_embed.proj.weight": rng.randn(16, 3, 16, 16).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(16).astype(np.float32),
+        "cls_token": rng.randn(1, 1, 16).astype(np.float32),
+        "pos_embed": rng.randn(1, 2 * 2 + 1, 16).astype(np.float32),
+        "blocks.0.norm1.weight": rng.randn(16).astype(np.float32),
+        "blocks.0.norm1.bias": rng.randn(16).astype(np.float32),
+        "blocks.0.attn.qkv.weight": rng.randn(48, 16).astype(np.float32),
+        "blocks.0.attn.qkv.bias": rng.randn(48).astype(np.float32),
+        "blocks.0.attn.proj.weight": rng.randn(16, 16).astype(np.float32),
+        "blocks.0.attn.proj.bias": rng.randn(16).astype(np.float32),
+        "blocks.0.norm2.weight": rng.randn(16).astype(np.float32),
+        "blocks.0.norm2.bias": rng.randn(16).astype(np.float32),
+        "blocks.0.mlp.fc1.weight": rng.randn(64, 16).astype(np.float32),
+        "blocks.0.mlp.fc1.bias": rng.randn(64).astype(np.float32),
+        "blocks.0.mlp.fc2.weight": rng.randn(16, 64).astype(np.float32),
+        "blocks.0.mlp.fc2.bias": rng.randn(16).astype(np.float32),
+    }
+    new = mae_to_vit_params(state, params, depth=2)
+    np.testing.assert_allclose(
+        new["blocks_0"]["attn"]["qkv"]["kernel"],
+        state["blocks.0.attn.qkv.weight"].T,
+    )
+    np.testing.assert_allclose(
+        new["patch_embed"]["proj"]["kernel"],
+        state["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+    )
+    # pos embed resized from 2x2 grid to 2x2 (same) -> direct copy
+    assert new["pos_embed"].shape == params["pos_embed"].shape
+    # untouched keys stay at init
+    np.testing.assert_allclose(new["blocks_1"]["attn"]["qkv"]["kernel"],
+                               params["blocks_1"]["attn"]["qkv"]["kernel"])
