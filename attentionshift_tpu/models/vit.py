@@ -26,6 +26,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .layers import Block, PatchEmbed, interpolate_pos_embed
 
@@ -113,9 +114,9 @@ class VisionTransformerDet(nn.Module):
         pts = (point_token + point_pos_embed).astype(x.dtype)
         x = jnp.concatenate([x, jnp.broadcast_to(pts, (b, p, d))], axis=1)
 
-        dpr = [
-            float(r) for r in jnp.linspace(0.0, self.drop_path_rate, self.depth)
-        ]
+        # numpy (not jnp): these are static hyperparams and must stay
+        # concrete when the whole model is traced under an outer jax.jit
+        dpr = np.linspace(0.0, self.drop_path_rate, self.depth).tolist()
         capture_from = self.depth - self.capture_layers
         feats = []
         attns = []

@@ -1,0 +1,86 @@
+"""CAM -> pseudo-box seeding (Stage A of the attention-shift engine).
+
+Rebuilds ``get_bbox_from_cam_fast``
+(`stdroi_point_deform_attn_reppoints.py:60-116`) without per-component
+Python loops: after connected-components labeling, per-component areas
+are computed with one scatter-add keyed by the component id (= min flat
+index), the area filter becomes a per-pixel comparison, and the box is
+the extent of surviving pixels mirrored around the annotated point
+("expand" method). Everything is fixed-shape and vmappable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ccl import connected_components
+
+__all__ = ["normalize_cam", "bbox_from_cam", "norm_attns"]
+
+
+def normalize_cam(cam: jnp.ndarray) -> jnp.ndarray:
+    """Min-max normalise a single (H, W) map (`:63`)."""
+    lo = cam.min()
+    hi = cam.max()
+    return (cam - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def norm_attns(attns: jnp.ndarray) -> jnp.ndarray:
+    """Per-map min-max over the last two axes (`norm_attns:329-333`)."""
+    lo = attns.min(axis=(-2, -1), keepdims=True)
+    hi = attns.max(axis=(-2, -1), keepdims=True)
+    return (attns - lo) / (hi - lo)
+
+
+def bbox_from_cam(
+    cam: jnp.ndarray,
+    point: jnp.ndarray,
+    cam_thr: float = 0.2,
+    area_ratio: float = 0.5,
+    ccl_iters: int = 64,
+) -> jnp.ndarray:
+    """Seed a pseudo-box from one CAM and its annotated point.
+
+    Args:
+        cam: (H, W) raw CAM (will be min-max normalised).
+        point: (2,) xy of the annotated instance point, image coords.
+        cam_thr: binarisation threshold on the normalised CAM (seed_thr).
+        area_ratio: keep components with area >= ratio * max_area
+            (seed_multiple).
+
+    Returns:
+        (4,) xyxy pseudo-box.
+    """
+    h, w = cam.shape
+    binary = normalize_cam(cam) >= cam_thr
+    labels = connected_components(binary, max_iters=ccl_iters)  # (H, W) 0=bg
+
+    flat = labels.reshape(-1)
+    areas = jnp.zeros((h * w + 1,), jnp.int32).at[flat].add(1)
+    area_px = areas[flat].reshape(h, w)
+    fg = labels > 0
+    max_area = jnp.max(jnp.where(fg, area_px, 0))
+    keep = fg & (area_px >= area_ratio * max_area)
+
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    big = jnp.float32(1e9)
+    ymin = jnp.min(jnp.where(keep, rows, big))
+    ymax = jnp.max(jnp.where(keep, rows, -big))
+    xmin = jnp.min(jnp.where(keep, cols, big))
+    xmax = jnp.max(jnp.where(keep, cols, -big))
+    any_keep = jnp.any(keep)
+
+    xc, yc = point[0], point[1]
+
+    def expand(lo, hi, c, limit):
+        use_lo = jnp.abs(c - lo) > jnp.abs(c - hi)
+        out_lo = jnp.where(use_lo, lo, jnp.maximum(2 * c - hi, 0.0))
+        out_hi = jnp.where(use_lo, jnp.minimum(2 * c - lo, limit), hi)
+        return out_lo, out_hi
+
+    bx1, bx2 = expand(xmin, xmax, xc, float(w))
+    by1, by2 = expand(ymin, ymax, yc, float(h))
+    box = jnp.stack([bx1, by1, bx2, by2])
+    return jnp.where(any_keep, box, jnp.asarray([0.0, 0.0, 1.0, 1.0]))

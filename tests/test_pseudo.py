@@ -1,0 +1,396 @@
+"""Tests for the attention-shift pseudo-label engine (Stages A-C).
+
+Each jax implementation is checked against an independent numpy oracle
+written from the reference's documented semantics (SURVEY.md section 2.4),
+not against reference code.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy import ndimage
+
+from attentionshift_tpu.pseudo.cam import bbox_from_cam, norm_attns, normalize_cam
+from attentionshift_tpu.pseudo.points import (
+    sample_in_mask,
+    strided_in_mask,
+    topk_in_mask,
+)
+from attentionshift_tpu.pseudo.refine import (
+    cosine_similarity_refined_map,
+    point_prototype_sim,
+    refined_similarity,
+    sample_mask_points,
+)
+from attentionshift_tpu.pseudo.meanshift import (
+    cosine_shift_batch,
+    merge_maps,
+    filter_maps,
+    semantic_centers,
+)
+from attentionshift_tpu.pseudo.rollout import (
+    attention_rollout_point_rows,
+    augment_attention,
+)
+
+
+# ---------------------------------------------------------------- rollout
+def test_rollout_matches_full_product():
+    rng = np.random.RandomState(0)
+    L, B, T, P = 4, 2, 12, 3
+    attns = jax.nn.softmax(jnp.asarray(rng.randn(L, B, T, T), jnp.float32), -1)
+    out = attention_rollout_point_rows(attns, P)
+
+    # numpy oracle: full cumulative top-down product, then slice point rows
+    aug = np.asarray(augment_attention(attns))
+    for i in range(L):
+        ref = aug[-1].copy()
+        for j in range(2, i + 2):
+            if L - j < 0:
+                break
+            ref = np.einsum("bpt,btu->bpu", ref, aug[L - j])
+        np.testing.assert_allclose(
+            np.asarray(out[i]), ref[:, -P:, :], rtol=1e-5, atol=1e-6
+        )
+
+
+# ---------------------------------------------------------------- Stage A
+def _bbox_oracle(cam, point, thr=0.2, ratio=0.5):
+    """Numpy oracle: normalize, threshold, 8-conn CCL, area filter, expand."""
+    cam = (cam - cam.min()) / max(cam.max() - cam.min(), 1e-6)
+    binary = cam >= thr
+    labels, n = ndimage.label(binary, structure=np.ones((3, 3)))
+    if n == 0:
+        return np.array([0.0, 0.0, 1.0, 1.0])
+    areas = ndimage.sum_labels(np.ones_like(labels), labels, range(1, n + 1))
+    keep_ids = [i + 1 for i in range(n) if areas[i] >= ratio * areas.max()]
+    keep = np.isin(labels, keep_ids)
+    ys, xs = np.nonzero(keep)
+    x1, x2, y1, y2 = xs.min(), xs.max(), ys.min(), ys.max()
+    xc, yc = point
+    h, w = cam.shape
+
+    def expand(lo, hi, c, limit):
+        if abs(c - lo) > abs(c - hi):
+            return lo, min(2 * c - lo, limit)
+        return max(2 * c - hi, 0.0), hi
+
+    bx1, bx2 = expand(float(x1), float(x2), float(xc), float(w))
+    by1, by2 = expand(float(y1), float(y2), float(yc), float(h))
+    return np.array([bx1, by1, bx2, by2])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bbox_from_cam_vs_oracle(seed):
+    rng = np.random.RandomState(seed)
+    cam = ndimage.gaussian_filter(rng.rand(24, 32), 2.0).astype(np.float32)
+    point = np.array([16.0, 12.0])
+    got = np.asarray(bbox_from_cam(jnp.asarray(cam), jnp.asarray(point)))
+    want = _bbox_oracle(cam, point)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bbox_from_cam_empty():
+    cam = jnp.zeros((16, 16), jnp.float32)
+    out = np.asarray(bbox_from_cam(cam, jnp.asarray([8.0, 8.0]), cam_thr=2.0))
+    np.testing.assert_allclose(out, [0.0, 0.0, 1.0, 1.0])
+
+
+def test_norm_attns_range():
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 8, 8) * 5 + 2, jnp.float32)
+    n = np.asarray(norm_attns(x))
+    assert np.allclose(n.min(axis=(-2, -1)), 0.0, atol=1e-6)
+    assert np.allclose(n.max(axis=(-2, -1)), 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------- points
+def test_sample_in_mask_hits_mask():
+    mask = np.zeros((10, 10), bool)
+    mask[3:6, 4:8] = True
+    coords, n = sample_in_mask(jax.random.PRNGKey(0), jnp.asarray(mask), 16)
+    coords = np.asarray(coords)
+    assert int(n) == mask.sum()
+    assert mask[coords[:, 0], coords[:, 1]].all()
+
+
+def test_strided_in_mask_raster_order():
+    mask = np.zeros((6, 6), bool)
+    mask[1, 1] = mask[2, 3] = mask[4, 5] = mask[5, 0] = True
+    coords, n = strided_in_mask(jnp.asarray(mask), 4)
+    coords = np.asarray(coords)
+    assert int(n) == 4
+    np.testing.assert_array_equal(coords, [[1, 1], [2, 3], [4, 5], [5, 0]])
+
+
+def test_strided_in_mask_fewer_than_k():
+    mask = np.zeros((6, 6), bool)
+    mask[2, 2] = mask[3, 3] = True
+    coords, n = strided_in_mask(jnp.asarray(mask), 5)
+    coords = np.asarray(coords)
+    assert int(n) == 2
+    assert mask[coords[:, 0], coords[:, 1]].all()
+
+
+def test_topk_in_mask_no_replacement():
+    mask = np.zeros((8, 8), bool)
+    mask[0, :6] = True
+    coords, valid, n = topk_in_mask(jax.random.PRNGKey(1), jnp.asarray(mask), 4)
+    coords = np.asarray(coords)
+    assert int(n) == 6
+    assert bool(np.asarray(valid).all())
+    flat = coords[:, 0] * 8 + coords[:, 1]
+    assert len(set(flat.tolist())) == 4  # distinct
+    assert mask[coords[:, 0], coords[:, 1]].all()
+
+
+def test_topk_in_mask_refill():
+    mask = np.zeros((8, 8), bool)
+    mask[2, 2] = True
+    coords, valid, n = topk_in_mask(jax.random.PRNGKey(2), jnp.asarray(mask), 4)
+    coords = np.asarray(coords)
+    assert int(n) == 1
+    np.testing.assert_array_equal(np.asarray(valid), [True, False, False, False])
+    np.testing.assert_array_equal(coords, [[2, 2]] * 4)
+
+
+# ---------------------------------------------------------------- Stage B
+def _np_cos_map(feat, proto, eps=1e-8):
+    d = feat.shape[0]
+    f = feat.reshape(d, -1)
+    fn = f / np.maximum(np.linalg.norm(f, axis=0, keepdims=True), eps)
+    pn = proto / np.maximum(np.linalg.norm(proto, axis=1, keepdims=True), eps)
+    return (pn @ fn).reshape(proto.shape[0], *feat.shape[1:])
+
+
+def test_point_prototype_sim_vs_oracle():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(8, 6, 6).astype(np.float32)
+    pts = np.array([[[16.0, 16.0], [48.0, 16.0]]], np.float32)  # (1, 2, 2) xy
+    got = np.asarray(point_prototype_sim(jnp.asarray(pts), jnp.asarray(feat)))
+    proto = feat[:, [1, 1], [1, 3]].mean(axis=-1)[None]
+    want = _np_cos_map(feat, proto)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_refined_similarity_oracle_no_select():
+    """One refinement step vs a numpy oracle."""
+    rng = np.random.RandomState(3)
+    D, Hp, Wp = 8, 5, 5
+    feat = rng.randn(D, Hp, Wp).astype(np.float32)
+    pts = (rng.rand(2, 3, 2) * 16 * 5).astype(np.float32)
+    boxes = np.array([[0, 0, 80, 80], [0, 0, 80, 80]], np.float32)
+    got, proto = refined_similarity(
+        jnp.asarray(pts), jnp.asarray(feat), jnp.asarray(boxes), 2,
+        refine_times=1, tau=0.85,
+    )
+    # oracle
+    col = np.clip(pts[..., 0].astype(int) // 16, 0, Wp - 1)
+    row = np.clip(pts[..., 1].astype(int) // 16, 0, Hp - 1)
+    p0 = feat[:, row, col].mean(axis=-1).T  # (2, D)
+    cos = _np_cos_map(feat, p0)
+    thr = cos.max(axis=(1, 2), keepdims=True) * 0.85
+    cosm = np.where(cos < thr, 0.0, cos)
+    f = feat.reshape(D, -1)
+    w = cosm.reshape(2, -1)
+    p1 = (w @ f.T) / np.maximum(w.sum(-1, keepdims=True), 1e-8)
+    want = _np_cos_map(feat, p1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(proto), p1, rtol=1e-4, atol=1e-4)
+
+
+def test_refined_similarity_select_winner_take_all():
+    """With is_select, each pixel is claimed by exactly one instance map."""
+    rng = np.random.RandomState(4)
+    D, Hp, Wp = 8, 6, 6
+    feat = rng.randn(D, Hp, Wp).astype(np.float32)
+    pts = (rng.rand(3, 2, 2) * 96).astype(np.float32)
+    boxes = np.asarray([[0, 0, 96, 96]] * 2, np.float32)
+    sel, _ = refined_similarity(
+        jnp.asarray(pts), jnp.asarray(feat), jnp.asarray(boxes), 2,
+        refine_times=2, is_select=True,
+    )
+    sel = np.asarray(sel)
+    nonzero_per_pixel = (sel != 0.0).sum(axis=0)
+    assert (nonzero_per_pixel <= 1).all()
+
+
+def test_cosine_similarity_refined_map_shapes():
+    rng = np.random.RandomState(5)
+    G, D, Hp, Wp = 2, 8, 4, 4
+    H, W = Hp * 16, Wp * 16
+    cams = jnp.asarray(np.abs(rng.randn(G, H, W)), jnp.float32)
+    feat = jnp.asarray(rng.randn(D, Hp, Wp), jnp.float32)
+    boxes = jnp.asarray([[4, 4, 40, 40], [20, 20, 60, 62]], jnp.float32)
+    gt_points = jnp.asarray([[20.0, 20.0], [40.0, 40.0]])
+    valid = jnp.ones((G,), bool)
+    maps = cosine_similarity_refined_map(
+        jax.random.PRNGKey(0), cams, feat, boxes, gt_points, valid,
+        num_points=8, refine_times=2,
+    )
+    assert maps.map_fg.shape == (G, H, W)
+    assert maps.map_bg.shape == (G, H, W)
+    assert maps.fg_proto.shape == (G + 1, D)
+    assert np.isfinite(np.asarray(maps.map_fg)).all()
+    assert np.asarray(maps.map_fg).max() <= 1.0 + 1e-5
+
+
+def test_sample_mask_points_labels_and_bounds():
+    G, H, W = 2, 32, 32
+    map_fg = np.zeros((G, H, W), np.float32)
+    map_bg = np.zeros((G, H, W), np.float32)
+    map_fg[0, 8:24, 8:24] = 1.0
+    map_bg[0, :4, :] = 1.0
+    map_fg[1, 4:12, 4:12] = 1.0
+    map_bg[1, 20:, 20:] = 1.0
+    boxes = jnp.asarray([[4, 4, 28, 28], [2, 2, 30, 30]], jnp.float32)
+    coords, labels = sample_mask_points(
+        jax.random.PRNGKey(0), jnp.asarray(map_fg), jnp.asarray(map_bg),
+        boxes, num_gt=8, corr_size=3,
+    )
+    coords = np.asarray(coords)
+    labels = np.asarray(labels)
+    assert coords.shape == (G, 8, 2) and labels.shape == (G, 8)
+    for g in range(G):
+        box = np.asarray(boxes[g])
+        inb = (
+            (coords[g, :, 0] >= box[0]) & (coords[g, :, 0] < box[2])
+            & (coords[g, :, 1] >= box[1]) & (coords[g, :, 1] < box[3])
+        )
+        assert inb.all()
+        # positives must lie inside the (eroded) fg square
+        pos = coords[g][labels[g]]
+        assert (map_fg[g, pos[:, 1].astype(int), pos[:, 0].astype(int)] > 0).all()
+
+
+# ---------------------------------------------------------------- Stage C
+def _np_cosine_shift(proto, feats, tau=0.1, temp=0.1, n_shift=3):
+    """Numpy oracle of one mean-shift chain for a single instance."""
+    K, D = proto.shape
+    N = feats.shape[0]
+    tau_arr = np.full((K, 1), tau)
+    p = proto.astype(np.float64)
+    for _ in range(n_shift):
+        pn = p / np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-8)
+        fn = feats / np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-8)
+        sim = pn @ fn.T  # (K, N)
+        z = sim / (temp * tau_arr)
+        w = np.exp(z - z.max(axis=0, keepdims=True))
+        # softmax over the feature axis (axis=-1) as in the jax impl
+        z2 = sim / (temp * tau_arr)
+        w = np.exp(z2 - z2.max(axis=-1, keepdims=True))
+        w = w / w.sum(axis=-1, keepdims=True)
+        assign = w.argmax(axis=0)  # (N,)
+        mask = (np.arange(K)[:, None] == assign[None, :]).astype(np.float64)
+        p = (w * mask) @ feats
+        pn = p / np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-8)
+        sim2 = pn @ fn.T
+        cnt = mask.sum(-1)
+        dens = (sim2 * mask).sum(-1)
+        dens = 1.0 - np.where(cnt >= 1, dens / np.maximum(cnt, 1.0), 0.0)
+        tau_arr = np.maximum(dens, 1e-10)[:, None]
+    return p
+
+
+def test_cosine_shift_batch_vs_oracle():
+    rng = np.random.RandomState(7)
+    G, K, N, D = 2, 4, 30, 8
+    proto = rng.randn(G, K, D).astype(np.float32)
+    feats = rng.randn(G, N, D).astype(np.float32)
+    got, sim = cosine_shift_batch(
+        jnp.asarray(proto), jnp.asarray(feats), jnp.asarray(feats[0]),
+        n_shift=3,
+    )
+    got = np.asarray(got)
+    for g in range(G):
+        want = _np_cosine_shift(proto[g], feats[g].astype(np.float64))
+        np.testing.assert_allclose(got[g], want, rtol=1e-3, atol=1e-3)
+    assert sim.shape == (G, K, N)
+
+
+def test_merge_maps_greedy_semantics():
+    """Row 0 absorbs its >=thr partners; absorbed rows can't re-merge."""
+    # construct prototypes where cos(0,1) high, cos(1,2) high, cos(0,2) low
+    base = np.zeros((3, 8), np.float32)
+    base[0, 0] = 1.0
+    base[1] = 0.0
+    base[1, 0] = 0.9
+    base[1, 1] = 0.45
+    base[2, 1] = 1.0
+    prot = jnp.asarray(base)[None]
+    valid = jnp.ones((1, 3), bool)
+    merged, mv = merge_maps(prot, valid, thr=0.85)
+    mv = np.asarray(mv[0])
+    merged = np.asarray(merged[0])
+    # row0 absorbs row1 (cos ~0.895 >= 0.85? compute: 0.9/1.006=0.894 => yes)
+    assert mv[0] and not mv[1]
+    # row2: row1 was absorbed, so row2 merges with itself only
+    assert mv[2]
+    np.testing.assert_allclose(merged[2], base[2], atol=1e-6)
+    np.testing.assert_allclose(
+        merged[0], (base[0] + base[1]) / 2.0, atol=1e-5
+    )
+
+
+def test_filter_maps():
+    G, K, Hp, Wp = 1, 2, 4, 4
+    sim = np.zeros((G, K, Hp, Wp), np.float32)
+    sim[0, 0, :2, :2] = 1.0  # inside fg
+    sim[0, 1, 2:, 2:] = 1.0  # outside fg
+    pos = np.zeros((G, Hp, Wp), np.float32)
+    pos[0, :2, :2] = 1.0
+    keep = np.asarray(filter_maps(jnp.asarray(sim), jnp.asarray(pos)))
+    assert keep[0, 0] and not keep[0, 1]
+
+
+def test_semantic_centers_end_to_end():
+    rng = np.random.RandomState(11)
+    G, D, Hp, Wp = 2, 8, 16, 16
+    H, W = Hp * 16, Wp * 16
+    # two distinct feature clusters inside the fg region (so their
+    # similarity maps stay within the eroded fg and survive the
+    # reference's 0.85-occupancy prototype filter) and a distinct
+    # background feature outside.
+    feat = np.ones((D, Hp, Wp), np.float32) * 0.1
+    feat[3] = 3.0  # background signature everywhere ...
+    inner = slice(2, Hp - 2)
+    feat[3, inner, inner] = 0.0  # ... except the object interior
+    feat[0, 2 : Hp // 2, inner] = 2.0  # part A
+    feat[1, Hp // 2 : Hp - 2, inner] = 2.0  # part B
+    feat += rng.randn(D, Hp, Wp).astype(np.float32) * 0.01
+    map_fg = np.zeros((G, H, W), np.float32)
+    map_fg[0, 8 : H - 8, 8 : W - 8] = 1.0
+    map_fg[1, 16 : H - 16, 16 : W - 16] = 1.0
+    map_bg = 1.0 - map_fg
+    rois = jnp.asarray([[0, 0, W, H], [8, 8, W - 8, H - 8]], jnp.float32)
+    labels = jnp.asarray([3, 7], jnp.int32)
+    out = semantic_centers(
+        jnp.asarray(map_fg), jnp.asarray(map_bg), rois,
+        jnp.asarray(feat), labels, jnp.ones((G,), bool),
+        num_semantic_points=3, num_prototypes=8, n_shift=4,
+    )
+    assert out.coords.shape == (G, 4, 2)
+    assert out.feats.shape == (G, 4, D)
+    coords = np.asarray(out.coords)
+    pv = np.asarray(out.part_valid)
+    assert pv.any(), "expected at least one semantic part"
+    for g in range(G):
+        roi = np.asarray(rois[g])
+        sel = coords[g][pv[g]]
+        assert ((sel[:, 0] >= roi[0]) & (sel[:, 0] <= roi[2])).all()
+        assert ((sel[:, 1] >= roi[1]) & (sel[:, 1] <= roi[3])).all()
+
+
+def test_semantic_centers_invalid_instances_masked():
+    rng = np.random.RandomState(12)
+    D, Hp, Wp = 8, 4, 4
+    H, W = Hp * 16, Wp * 16
+    feat = jnp.asarray(rng.randn(D, Hp, Wp), jnp.float32)
+    map_fg = jnp.asarray(np.ones((2, H, W), np.float32))
+    map_bg = 1.0 - map_fg
+    rois = jnp.asarray([[0, 0, 64, 64]] * 2, jnp.float32)
+    out = semantic_centers(
+        map_fg, map_bg, rois, feat, jnp.asarray([0, 0], jnp.int32),
+        jnp.asarray([True, False]), num_prototypes=4, n_shift=2,
+    )
+    assert not np.asarray(out.part_valid)[1].any()
