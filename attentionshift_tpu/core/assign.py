@@ -1,0 +1,180 @@
+"""Assigners and samplers, fixed-shape (padded gt with validity masks).
+
+Rebuilds:
+- ``MaxIoUAssigner`` (stock mmdet, used for RPN and RCNN proposal
+  assignment, `configs/mae/attnshift_voc12aug.py:147-175`),
+- ``RandomSampler`` (fixed ``num``/``pos_fraction`` subsampling),
+- ``HungarianPointAssigner``
+  (`mmdet/core/bbox/assigners/hungarian_point_assigner.py:16-141`):
+  one-to-one (or ``times``-to-one) matching of the 100 point-token
+  predictions to gt points with cost = FocalLossCost + PointL1Cost —
+  solved on-device with our jax LSA instead of the reference's CPU
+  scipy sync.
+
+Conventions: ``assigned_gt`` follows mmdet: -1 = ignore, 0 = negative,
+>0 = (gt index + 1). All outputs are fixed-size; padded gts are masked
+by ``gt_valid``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+from .lsa import linear_sum_assignment
+
+__all__ = [
+    "max_iou_assign",
+    "random_sample",
+    "hungarian_point_assign",
+    "AssignResult",
+    "SampleResult",
+]
+
+
+class AssignResult(NamedTuple):
+    assigned_gt: jnp.ndarray  # (N,) int32: -1 ignore / 0 neg / i+1 pos
+    max_iou: jnp.ndarray  # (N,) float32
+    labels: jnp.ndarray  # (N,) int32 assigned class (-1 if none)
+
+
+def max_iou_assign(
+    boxes: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    pos_iou_thr: float,
+    neg_iou_thr: float,
+    min_pos_iou: float = 0.0,
+    match_low_quality: bool = True,
+) -> AssignResult:
+    """mmdet MaxIoUAssigner.assign with padded gts.
+
+    Args:
+        boxes: (N, 4); gt_boxes: (G, 4); gt_labels: (G,); gt_valid: (G,).
+    """
+    n = boxes.shape[0]
+    g = gt_boxes.shape[0]
+    ious = bbox_overlaps(gt_boxes, boxes)  # (G, N)
+    ious = jnp.where(gt_valid[:, None], ious, -1.0)
+
+    max_iou = ious.max(axis=0)  # (N,)
+    argmax = ious.argmax(axis=0)  # (N,)
+
+    assigned = jnp.full((n,), -1, jnp.int32)
+    assigned = jnp.where(max_iou >= 0, jnp.where(max_iou < neg_iou_thr, 0, assigned), assigned)
+    assigned = jnp.where(max_iou >= pos_iou_thr, argmax.astype(jnp.int32) + 1, assigned)
+
+    if match_low_quality:
+        # each gt claims its best-overlapping box(es) if >= min_pos_iou;
+        # mmdet iterates gts in order so later gts overwrite earlier ones
+        gt_max = ious.max(axis=1)  # (G,)
+        def body(i, a):
+            claim = (ious[i] == gt_max[i]) & (gt_max[i] >= min_pos_iou) & gt_valid[i]
+            return jnp.where(claim, i + 1, a)
+        assigned = jax.lax.fori_loop(0, g, body, assigned)
+
+    pos = assigned > 0
+    lbl = jnp.where(
+        pos, gt_labels[jnp.clip(assigned - 1, 0, g - 1)], -1
+    ).astype(jnp.int32)
+    return AssignResult(assigned, max_iou, lbl)
+
+
+class SampleResult(NamedTuple):
+    pos_mask: jnp.ndarray  # (N,) bool: sampled positives
+    neg_mask: jnp.ndarray  # (N,) bool: sampled negatives
+
+
+def random_sample(
+    rng: jax.Array,
+    assigned_gt: jnp.ndarray,
+    num: int,
+    pos_fraction: float,
+) -> SampleResult:
+    """mmdet RandomSampler: up to num*pos_fraction random positives, the
+    remainder random negatives (neg_pos_ub=-1). Fixed-shape: returns
+    boolean masks rather than index lists."""
+    n = assigned_gt.shape[0]
+    pos_cap = int(num * pos_fraction)
+    k_pos, k_neg = jax.random.split(rng)
+
+    is_pos = assigned_gt > 0
+    is_neg = assigned_gt == 0
+
+    def pick(key, mask, cap):
+        score = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
+        thresh_rank = jnp.argsort(-score)  # best candidates first
+        sel = jnp.zeros((n,), bool).at[thresh_rank[:cap]].set(True)
+        return sel & mask
+
+    pos_sel = pick(k_pos, is_pos, pos_cap)
+    n_pos = pos_sel.sum()
+    # mmdet fills the remainder with negatives (num - sampled positives)
+    neg_cap = num - jnp.minimum(n_pos, pos_cap)
+    score = jnp.where(is_neg, jax.random.uniform(k_neg, (n,)), -1.0)
+    order = jnp.argsort(-score)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    neg_sel = is_neg & (rank < neg_cap)
+    return SampleResult(pos_sel, neg_sel)
+
+
+def _focal_cls_cost(
+    cls_pred: jnp.ndarray, gt_labels: jnp.ndarray,
+    alpha: float = 0.25, gamma: float = 2.0, eps: float = 1e-12,
+) -> jnp.ndarray:
+    """mmdet FocalLossCost (binary_input=False): sigmoid-focal cost of
+    predicting each gt's class (`core/bbox/match_costs/match_cost.py`)."""
+    p = jax.nn.sigmoid(cls_pred)  # (P, C)
+    neg_cost = -jnp.log(1.0 - p + eps) * (1.0 - alpha) * p**gamma
+    pos_cost = -jnp.log(p + eps) * alpha * (1.0 - p) ** gamma
+    cost = pos_cost - neg_cost  # (P, C)
+    return cost[:, gt_labels]  # (P, G)
+
+
+def hungarian_point_assign(
+    cls_pred: jnp.ndarray,
+    pt_pred: jnp.ndarray,
+    gt_points: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    img_wh: jnp.ndarray,
+    cls_weight: float = 1.0,
+    reg_weight: float = 10.0,
+    times: int = 1,
+) -> jnp.ndarray:
+    """(P,) assigned_gt in {0 = neg, i+1 = matched gt i}.
+
+    Mirrors ``HungarianPointAssigner.assign``: normalize gt points by
+    the image W/H, cost = FocalLossCost(cls) + L1(pred, gt), one LSA per
+    round with already-matched predictions masked by +inf cost
+    (``times`` rounds give times-to-one matching, `:111-140`).
+
+    Args:
+        cls_pred: (P, C) point-token class logits.
+        pt_pred: (P, 2) sigmoid-normalized xy.
+        gt_points: (G, 2) absolute xy; img_wh: (2,) = (W, H).
+    """
+    p = pt_pred.shape[0]
+    g = gt_points.shape[0]
+    gt_norm = gt_points / img_wh[None, :]
+    cost_cls = _focal_cls_cost(cls_pred, gt_labels)  # (P, G)
+    cost_reg = jnp.abs(pt_pred[:, None, :] - gt_norm[None, :, :]).sum(-1)  # (P, G)
+    cost = cls_weight * cost_cls + reg_weight * cost_reg
+    big = jnp.float32(1e9)
+    cost = jnp.where(gt_valid[None, :], cost, big)
+
+    assigned = jnp.zeros((p,), jnp.int32)
+    for _ in range(times):
+        masked = jnp.where((assigned > 0)[:, None], big, cost)
+        # pad to square: LSA over (P, G) with P >= G picks one row per col
+        row4col = linear_sum_assignment(masked.T)  # (G,) row index per gt
+        ok = gt_valid & (masked.T[jnp.arange(g), row4col] < big / 2)
+        upd = jnp.zeros((p,), jnp.int32).at[row4col].set(
+            jnp.where(ok, jnp.arange(g, dtype=jnp.int32) + 1, 0)
+        )
+        assigned = jnp.where((assigned == 0) & (upd > 0), upd, assigned)
+    return assigned

@@ -1,0 +1,153 @@
+"""Anchor RPN head (stock mmdet ``RPNHead`` semantics, fixed-shape).
+
+Configured at `configs/mae/attnshift_voc12aug.py:42-57,146-167`: 3x3 conv
++ relu, 1x1 sigmoid objectness (A anchors/loc) and 1x1 box deltas;
+trained with MaxIoU assignment vs the PSEUDO gt boxes
+(`two_stage_point_align.py:131-141`), 256 random samples at
+pos_fraction 0.5; proposals are per-level top-k -> decode -> clip ->
+level-aware NMS 0.7 -> top max_per_img.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.assign import max_iou_assign, random_sample
+from ..core.boxes import bbox2delta, clip_boxes, delta2bbox
+from ..core.losses import binary_cross_entropy, l1_loss
+from ..ops.nms import batched_nms
+
+__all__ = ["RPNHead", "rpn_loss", "rpn_proposals", "Proposals"]
+
+
+class RPNHead(nn.Module):
+    feat_channels: int = 256
+    num_anchors: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        """feats: per-level (B, H, W, C). Returns per-level
+        (cls (B, H, W, A), reg (B, H, W, A*4)) lists."""
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=self.dtype, name="rpn_conv")
+        cls_out = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="rpn_cls")
+        reg_out = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="rpn_reg")
+        cls_scores, bbox_preds = [], []
+        for x in feats:
+            y = nn.relu(conv(x))
+            cls_scores.append(cls_out(y))
+            bbox_preds.append(reg_out(y))
+        return cls_scores, bbox_preds
+
+
+def _flatten_levels(cls_scores, bbox_preds):
+    """Per-level NHWA(4) maps -> (B, N, *) flat anchors-major arrays and
+    per-anchor level ids."""
+    b = cls_scores[0].shape[0]
+    cls_flat, reg_flat, lvl_ids = [], [], []
+    for lvl, (c, r) in enumerate(zip(cls_scores, bbox_preds)):
+        _, h, w, a = c.shape
+        cls_flat.append(c.reshape(b, h * w * a))
+        reg_flat.append(r.reshape(b, h * w * a, 4))
+        lvl_ids.append(jnp.full((h * w * a,), lvl, jnp.int32))
+    return (
+        jnp.concatenate(cls_flat, axis=1),
+        jnp.concatenate(reg_flat, axis=1),
+        jnp.concatenate(lvl_ids, axis=0),
+    )
+
+
+def rpn_loss(
+    rng: jax.Array,
+    cls_scores,
+    bbox_preds,
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    num_samples: int = 256,
+    pos_fraction: float = 0.5,
+    pos_iou_thr: float = 0.7,
+    neg_iou_thr: float = 0.3,
+    min_pos_iou: float = 0.3,
+):
+    """Per-image-batched RPN loss. ``gt_boxes``: (B, G, 4) padded."""
+    cls_flat, reg_flat, _ = _flatten_levels(cls_scores, bbox_preds)
+    b = cls_flat.shape[0]
+    keys = jax.random.split(rng, b)
+
+    def one(key, cls_s, reg_s, gts, gvalid):
+        assign = max_iou_assign(
+            anchors, gts, jnp.zeros((gts.shape[0],), jnp.int32), gvalid,
+            pos_iou_thr, neg_iou_thr, min_pos_iou, match_low_quality=True,
+        )
+        sample = random_sample(key, assign.assigned_gt, num_samples, pos_fraction)
+        pos, neg = sample.pos_mask, sample.neg_mask
+        w_cls = (pos | neg).astype(jnp.float32)
+        targets_cls = pos.astype(jnp.float32)
+        avg = jnp.maximum(w_cls.sum(), 1.0)
+        lc = binary_cross_entropy(cls_s, targets_cls, weight=w_cls, avg_factor=avg)
+        gt_idx = jnp.clip(assign.assigned_gt - 1, 0, gts.shape[0] - 1)
+        tgt_deltas = bbox2delta(anchors, gts[gt_idx])
+        lr = l1_loss(
+            reg_s, tgt_deltas, weight=pos.astype(jnp.float32)[:, None], avg_factor=avg
+        )
+        return lc, lr
+
+    lc, lr = jax.vmap(one)(keys, cls_flat, reg_flat, gt_boxes, gt_valid)
+    return {"loss_rpn_cls": lc.mean(), "loss_rpn_bbox": lr.mean()}
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray  # (B, K, 4)
+    scores: jnp.ndarray  # (B, K)
+    valid: jnp.ndarray  # (B, K) bool
+
+
+def rpn_proposals(
+    cls_scores,
+    bbox_preds,
+    anchors_per_level: Sequence[jnp.ndarray],
+    img_shape: tuple[int, int],
+    nms_pre: int = 2000,
+    max_per_img: int = 1000,
+    iou_threshold: float = 0.7,
+    min_bbox_size: float = 0.0,
+) -> Proposals:
+    """Decode + level-aware NMS (mmdet RPNHead._get_bboxes_single)."""
+    b = cls_scores[0].shape[0]
+    sel_scores, sel_boxes, sel_lvls = [], [], []
+    for lvl, (c, r, anc) in enumerate(zip(cls_scores, bbox_preds, anchors_per_level)):
+        _, h, w, a = c.shape
+        n = h * w * a
+        scores = jax.nn.sigmoid(c.reshape(b, n))
+        deltas = r.reshape(b, n, 4)
+        k = min(nms_pre, n)
+        top_s, top_i = jax.lax.top_k(scores, k)  # (B, k)
+        top_d = jnp.take_along_axis(deltas, top_i[..., None], axis=1)
+        top_a = anc[top_i]  # (B, k, 4)
+        boxes = delta2bbox(top_a, top_d, max_shape=img_shape)
+        sel_scores.append(top_s)
+        sel_boxes.append(boxes)
+        sel_lvls.append(jnp.full((b, k), lvl, jnp.int32))
+    scores = jnp.concatenate(sel_scores, axis=1)
+    boxes = jnp.concatenate(sel_boxes, axis=1)
+    lvls = jnp.concatenate(sel_lvls, axis=1)
+
+    wh_ok = (
+        (boxes[..., 2] - boxes[..., 0] > min_bbox_size)
+        & (boxes[..., 3] - boxes[..., 1] > min_bbox_size)
+    )
+
+    def one(bx, sc, lv, ok):
+        keep_idx, keep_valid = batched_nms(
+            bx, jnp.where(ok, sc, -1.0), lv, iou_threshold, max_per_img,
+            valid=ok & (sc > -1.0),
+        )
+        return bx[keep_idx], jnp.where(keep_valid, sc[keep_idx], 0.0), keep_valid
+
+    pb, ps, pv = jax.vmap(one)(boxes, scores, lvls, wh_ok)
+    return Proposals(pb, ps, pv)
