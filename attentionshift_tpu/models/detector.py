@@ -1,0 +1,452 @@
+"""AttnShift detector: point-supervised two-stage detector, TPU-native.
+
+Orchestration rebuild of ``TwoStageDetectorPointSupAlign`` +
+``FasterRCNNPointSupAlign`` + ``AttnShiftRoIHead``
+(`mmdet/models/detectors/two_stage_point_align.py:18-165`,
+`mmdet/models/roi_heads/stdroi_point_deform_attn_reppoints.py:1326-3221`)
+as ONE flax module whose train/test paths are pure jittable functions:
+
+train (`forward_train``):
+  backbone -> Stage A (Hungarian token match -> rollout CAMs -> candidate
+  boxes -> MIL best-layer selection) -> Stage B/C (refined fg/bg maps,
+  mask points, mean-shift semantic centers) -> RPN trained on pseudo
+  boxes -> RCNN box head on sampled proposals -> mask head supervised at
+  sampled points. Returns the loss dict (keys mirror the reference).
+
+test (``simple_test``):
+  backbone -> RPN proposals -> box head -> decode + multiclass NMS ->
+  mask head on detections. Mask pasting happens host-side in eval.
+
+Every stage is fixed-shape: gt instances padded to ``max_gt`` with
+validity masks, proposals to ``num_proposals``, RCNN samples to
+``rcnn_samples``. Batch is handled by vmapping the per-image engine.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.anchors import grid_anchors, grid_anchors_per_level
+from ..core.assign import hungarian_point_assign, max_iou_assign, random_sample
+from ..core.boxes import delta2bbox
+from ..core.losses import l1_loss, sigmoid_focal_loss
+from ..core.postprocess import Detections, multiclass_nms
+from ..ops.image import resize
+from ..ops.roi_align import roi_align
+from ..ops.sampling import point_sample
+from ..pseudo.engine import candidate_boxes, masks_and_centers
+from ..pseudo.rollout import attention_rollout_point_rows
+from .fpn import FPN
+from .heads import BoxHeadRec, MILHead, MaskHeadPointSup, mask_point_loss
+from .rpn import RPNHead, rpn_loss, rpn_proposals
+from .vit import VisionTransformerDet
+
+__all__ = ["AttnShiftDetector", "TestOutputs"]
+
+
+class TestOutputs(NamedTuple):
+    dets: Detections  # boxes/scores/labels/valid, (B, K, ...)
+    mask_probs: jnp.ndarray  # (B, K, 28, 28) sigmoid probs of det class
+
+
+def _rois_with_batch_idx(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 4) -> (B*N, 5) [batch_idx, x1, y1, x2, y2]."""
+    b, n, _ = boxes.shape
+    idx = jnp.repeat(jnp.arange(b, dtype=boxes.dtype), n)[:, None]
+    return jnp.concatenate([idx, boxes.reshape(b * n, 4)], axis=1)
+
+
+class AttnShiftDetector(nn.Module):
+    # model
+    num_classes: int = 20
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    img_size: int = 224  # pos-embed storage size
+    out_indices: tuple = (3, 5, 7, 11)
+    point_tokens: int = 100
+    cam_layer: int = 7
+    drop_path_rate: float = 0.05
+    use_remat: bool = True
+    # pseudo-label engine
+    max_gt: int = 20
+    seed_thr: float = 0.2
+    seed_multiple: float = 0.5
+    cam_stride: int = 4
+    ccl_iters: int = 64
+    pos_mask_thr: float = 0.35
+    neg_mask_thr: float = 0.8
+    num_mask_point_gt: int = 10
+    corr_size: int = 21
+    obj_tau: float = 0.9
+    refine_times: int = 2
+    mean_shift_times: int = 10
+    num_semantic_points: int = 5
+    # rpn / rcnn
+    rpn_channels: int = 256
+    num_proposals: int = 1000
+    rpn_nms_pre: int = 2000
+    rcnn_samples: int = 512
+    rcnn_pos_fraction: float = 0.25
+    mask_sample_cap: int = 128
+    # test
+    test_score_thr: float = 0.05
+    test_iou_thr: float = 0.5
+    test_max_per_img: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = VisionTransformerDet(
+            img_size=self.img_size,
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            drop_path_rate=self.drop_path_rate,
+            out_indices=self.out_indices,
+            point_tokens_num=self.point_tokens,
+            num_classes=self.num_classes,
+            capture_layers=self.cam_layer,
+            use_remat=self.use_remat,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        self.neck = FPN(out_channels=self.rpn_channels, num_outs=5, dtype=self.dtype, name="neck")
+        self.rpn_head = RPNHead(feat_channels=self.rpn_channels, dtype=self.dtype, name="rpn_head")
+        self.mil_head = MILHead(
+            num_classes=self.num_classes,
+            in_channels=self.embed_dim,
+            num_layers_query=self.cam_layer,
+            dtype=self.dtype,
+            name="mil_head",
+        )
+        self.bbox_head = BoxHeadRec(
+            num_classes=self.num_classes, in_channels=self.embed_dim,
+            dtype=self.dtype, name="bbox_head",
+        )
+        self.mask_head = MaskHeadPointSup(
+            num_classes=self.num_classes, in_channels=self.embed_dim,
+            dtype=self.dtype, name="mask_head",
+        )
+
+    # ------------------------------------------------------------- shared
+    def _extract(self, img, deterministic: bool = True):
+        out = self.backbone(img, deterministic=deterministic)
+        b, h, w, _ = img.shape
+        hp, wp = h // 16, w // 16
+        # roi source: raw last-block patch tokens (roi_skip_fpn=True,
+        # `two_stage_point_sup.py:122-127`), BCHW for roi_align
+        roi_map = (
+            out["last_feat"][:, 1:]
+            .reshape(b, hp, wp, self.embed_dim)
+            .transpose(0, 3, 1, 2)
+        )
+        return out, roi_map, (hp, wp)
+
+    def _roi_feats(self, roi_map, boxes, output_size):
+        """(B, N, 4) boxes -> (B*N, S, S, C) channel-last roi features."""
+        rois = _rois_with_batch_idx(boxes)
+        feats = roi_align(roi_map, rois, spatial_scale=1.0 / 16, output_size=output_size)
+        return feats.transpose(0, 2, 3, 1)
+
+    # -------------------------------------------------------------- train
+    def __call__(self, img, gt_points, gt_labels, gt_valid, img_wh, *, loss_enable=1.0):
+        """Training forward: returns (losses dict, aux dict).
+
+        Args:
+            img: (B, H, W, 3) normalised, padded images.
+            gt_points: (B, G, 2) annotated instance points (xy, image coords).
+            gt_labels: (B, G) int32 class ids.
+            gt_valid: (B, G) bool instance validity (padding mask).
+            img_wh: (B, 2) true image (w, h) before padding.
+            loss_enable: epoch-gated bbox/mask loss switch
+                (``LossWeightAdjustHook``; 1.0 from epoch 0 in the VOC cfg).
+        """
+        b, h, w, _ = img.shape
+        g = gt_points.shape[1]
+        out, roi_map, (hp, wp) = self._extract(img, deterministic=False)
+        rng = self.make_rng("sampling")
+        k_rpn, k_rcnn, k_engine = jax.random.split(rng, 3)
+
+        point_cls = out["outputs_class"]  # (B, P, C)
+        point_reg = out["outputs_coord"]  # (B, P, 2)
+
+        # ---- Stage A: Hungarian token match + rollout CAMs + candidates
+        rollout = attention_rollout_point_rows(out["attns"], self.point_tokens)
+        rollout = rollout.transpose(1, 0, 2, 3)  # (B, L, P, T)
+
+        def assign_one(cls_p, reg_p, pts, lbls, val, wh):
+            return hungarian_point_assign(
+                jax.lax.stop_gradient(cls_p), jax.lax.stop_gradient(reg_p),
+                pts, lbls, val, wh,
+            )
+
+        assigned = jax.vmap(assign_one)(
+            point_cls, point_reg, gt_points, gt_labels, gt_valid, img_wh
+        )  # (B, P) in {0, gt+1}
+        # token index per gt: argmax of the one-hot match
+        token_of_gt = jnp.argmax(
+            assigned[:, None, :] == (jnp.arange(g)[None, :, None] + 1), axis=-1
+        ).astype(jnp.int32)  # (B, G)
+
+        def cand_one(rows, tok, pts):
+            return candidate_boxes(
+                rows, tok, pts, (hp, wp), (h, w),
+                seed_thr=self.seed_thr, seed_multiple=self.seed_multiple,
+                cam_stride=self.cam_stride, ccl_iters=self.ccl_iters,
+            )
+
+        cand, cams_patch = jax.vmap(cand_one)(rollout, token_of_gt, gt_points)
+        # cand: (B, G, L, 4); cams_patch: (B, L, G, Hp, Wp)
+
+        # ---- MIL best-layer selection (gradients flow into backbone)
+        mil_feats = self._roi_feats(roi_map, cand.reshape(b, g * self.cam_layer, 4), 7)
+        mil_feats = mil_feats.reshape(b * g, self.cam_layer, 7, 7, self.embed_dim)
+        best_idx, mil_loss = self.mil_head(
+            mil_feats, gt_labels.reshape(-1), gt_valid.reshape(-1)
+        )
+        best_idx = best_idx.reshape(b, g)
+        pseudo_boxes = jnp.take_along_axis(
+            cand, best_idx[..., None, None], axis=2
+        )[:, :, 0]  # (B, G, 4)
+        pseudo_boxes = jax.lax.stop_gradient(pseudo_boxes)
+
+        # ---- Stages B+C (on detached features, `two_stage_point_align.py:77`)
+        vit_feat = jax.lax.stop_gradient(
+            out["last_feat"][:, 1:].reshape(b, hp, wp, self.embed_dim)
+        ).transpose(0, 3, 1, 2)  # (B, D, Hp, Wp)
+        best_cams_patch = jnp.take_along_axis(
+            cams_patch.transpose(0, 2, 1, 3, 4),  # (B, G, L, Hp, Wp)
+            best_idx[..., None, None, None], axis=2,
+        )[:, :, 0]  # (B, G, Hp, Wp)
+        best_cams = resize(best_cams_patch, (h, w))
+
+        def engine_one(key, cams, feat, boxes, pts, lbls, val):
+            return masks_and_centers(
+                key, cams, feat, boxes, pts, lbls, val,
+                pos_mask_thr=self.pos_mask_thr, neg_mask_thr=self.neg_mask_thr,
+                num_mask_point_gt=self.num_mask_point_gt, corr_size=self.corr_size,
+                obj_tau=self.obj_tau, refine_times=self.refine_times,
+                mean_shift_times=self.mean_shift_times,
+                num_semantic_points=self.num_semantic_points,
+            )
+
+        pl = jax.vmap(engine_one)(
+            jax.random.split(k_engine, b), best_cams, vit_feat,
+            pseudo_boxes, gt_points, gt_labels, gt_valid,
+        )
+
+        losses = {"loss_mil": mil_loss}
+
+        # ---- RPN on pseudo boxes
+        fpn_feats = self.neck(out["feature"])
+        cls_scores, bbox_preds = self.rpn_head(fpn_feats)
+        featmap_sizes = [f.shape[1:3] for f in fpn_feats]
+        anchors = grid_anchors(featmap_sizes)
+        losses.update(
+            rpn_loss(k_rpn, cls_scores, bbox_preds, anchors, pseudo_boxes, gt_valid)
+        )
+        props = rpn_proposals(
+            cls_scores, bbox_preds, grid_anchors_per_level(featmap_sizes),
+            (h, w), nms_pre=self.rpn_nms_pre, max_per_img=self.num_proposals,
+        )
+
+        # ---- point-token losses (`stdroi:3431-3514`)
+        losses.update(
+            self._point_losses(point_cls, point_reg, assigned, gt_points, gt_labels, img_wh)
+        )
+
+        # ---- RCNN box + mask heads
+        losses.update(
+            self._rcnn_losses(
+                k_rcnn, roi_map, props, pseudo_boxes, gt_labels, gt_valid,
+                pl.point_coords, pl.point_labels, loss_enable,
+            )
+        )
+        aux = dict(
+            pseudo_boxes=pseudo_boxes,
+            pseudo_valid=gt_valid,
+            pseudo_masks=pl.pseudo_masks,
+            best_idx=best_idx,
+            semantic_centers=pl.centers.coords,
+            semantic_valid=pl.centers.part_valid,
+            map_fg=pl.map_fg,
+        )
+        return losses, aux
+
+    def _point_losses(self, point_cls, point_reg, assigned, gt_points, gt_labels, img_wh):
+        b, p, c = point_cls.shape
+        g = gt_points.shape[1]
+        matched = assigned > 0  # (B, P)
+        gt_idx = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(
+            matched, jnp.take_along_axis(gt_labels, gt_idx, axis=1), self.num_classes
+        )
+        num_pos = jnp.maximum(matched.sum().astype(jnp.float32), 1.0)
+        loss_cls = sigmoid_focal_loss(
+            point_cls.reshape(-1, c), labels.reshape(-1), avg_factor=num_pos
+        )
+        tgt_xy = jnp.take_along_axis(
+            gt_points, gt_idx[..., None], axis=1
+        ) / img_wh[:, None, :]
+        loss_pt = l1_loss(
+            point_reg, tgt_xy,
+            weight=matched.astype(jnp.float32)[..., None],
+            avg_factor=num_pos,
+        )
+        pos_logits = point_cls.reshape(-1, c)
+        pos_lab = labels.reshape(-1)
+        pos_mask = matched.reshape(-1)
+        acc = (
+            ((jnp.argmax(pos_logits, -1) == pos_lab) & pos_mask).sum()
+            / num_pos * 100.0
+        )
+        return {
+            "loss_point_cls": loss_cls,
+            "loss_point": 10.0 * loss_pt,
+            "pos_point_acc": acc,
+        }
+
+    def _rcnn_losses(
+        self, rng, roi_map, props, pseudo_boxes, gt_labels, gt_valid,
+        mask_pt_coords, mask_pt_labels, loss_enable,
+    ):
+        b = pseudo_boxes.shape[0]
+        g = pseudo_boxes.shape[1]
+        s = self.rcnn_samples
+        keys = jax.random.split(rng, b)
+
+        def sample_one(key, boxes, valid, gts, glbl, gval):
+            # add_gt_as_proposals=True (`attnshift_voc12aug.py:172`)
+            all_boxes = jnp.concatenate([gts, boxes], axis=0)
+            all_valid = jnp.concatenate([gval, valid], axis=0)
+            assign = max_iou_assign(
+                all_boxes, gts, glbl, gval, pos_iou_thr=0.5, neg_iou_thr=0.5,
+                min_pos_iou=0.5, match_low_quality=False,
+            )
+            assigned = jnp.where(all_valid, assign.assigned_gt, -1)
+            samp = random_sample(key, assigned, s, self.rcnn_pos_fraction)
+            # fixed-size gather: positives first, then negatives
+            k1, _ = jax.random.split(key)
+            score = (
+                samp.pos_mask.astype(jnp.float32) * 2.0
+                + samp.neg_mask.astype(jnp.float32)
+                + jax.random.uniform(k1, assigned.shape) * 0.5
+            )
+            _, idx = jax.lax.top_k(score, s)
+            rois = all_boxes[idx]
+            r_assigned = assigned[idx]
+            r_pos = samp.pos_mask[idx]
+            r_neg = samp.neg_mask[idx]
+            r_lbl = jnp.where(
+                r_pos, glbl[jnp.clip(r_assigned - 1, 0, g - 1)], self.num_classes
+            )
+            r_tgt = gts[jnp.clip(r_assigned - 1, 0, g - 1)]
+            return rois, r_lbl, r_tgt, r_pos, r_neg, jnp.clip(r_assigned - 1, 0, g - 1)
+
+        rois, labels, tgts, pos, neg, pgt = jax.vmap(sample_one)(
+            keys, props.boxes, props.valid, pseudo_boxes, gt_labels, gt_valid
+        )
+
+        roi_feats = self._roi_feats(roi_map, rois, 7)  # (B*S, 7, 7, D)
+        cls_score, bbox_pred, _ = self.bbox_head(roi_feats)
+        lw = (pos | neg).reshape(-1).astype(jnp.float32)
+        bw = pos.reshape(-1).astype(jnp.float32)[:, None] * jnp.ones((1, 4))
+        box_losses = self.bbox_head.loss(
+            cls_score, bbox_pred, rois.reshape(-1, 4), labels.reshape(-1),
+            lw, tgts.reshape(-1, 4), bw, loss_enable=loss_enable,
+        )
+
+        # ---- mask head on positive rois only (fixed cap)
+        m = self.mask_sample_cap
+        k2 = jax.random.fold_in(rng, 1)
+
+        def pick_pos(key, pos_m):
+            score = pos_m.astype(jnp.float32) + jax.random.uniform(key, pos_m.shape) * 0.5
+            _, idx = jax.lax.top_k(score, m)
+            return idx, pos_m[idx]
+
+        pidx, pvalid = jax.vmap(pick_pos)(jax.random.split(k2, b), pos)
+        mrois = jnp.take_along_axis(rois, pidx[..., None], axis=1)  # (B, M, 4)
+        mlabels = jnp.take_along_axis(labels, pidx, axis=1)
+        mgt = jnp.take_along_axis(pgt, pidx, axis=1)  # (B, M) matched gt slot
+
+        mask_feats = self._roi_feats(roi_map, mrois, 14)
+        mask_logits = self.mask_head(mask_feats)  # (B*M, 28, 28, C)
+
+        # per-roi supervision points from the matched gt
+        pts = jnp.take_along_axis(
+            mask_pt_coords, mgt[..., None, None], axis=1
+        )  # (B, M, NP, 2)
+        plbl = jnp.take_along_axis(mask_pt_labels, mgt[..., None], axis=1)
+        # box-normalised coords; outside [0,1] -> ignore (`stdroi:3146-3152`)
+        wh_box = jnp.maximum(mrois[..., 2:4] - mrois[..., 0:2], 1e-6)
+        rel = (pts - mrois[..., None, 0:2]) / wh_box[..., None, :]
+        outside = (
+            (rel[..., 0] < 0) | (rel[..., 0] > 1) | (rel[..., 1] < 0) | (rel[..., 1] > 1)
+        )
+        plbl = jnp.where(outside, 2, plbl)
+        npnt = rel.shape[2]
+        preds = point_sample(
+            mask_logits.transpose(0, 3, 1, 2), rel.reshape(b * m, npnt, 2)
+        ).transpose(0, 2, 1)  # (B*M, NP, C)
+        loss_mask = mask_point_loss(
+            preds, plbl.reshape(b * m, npnt),
+            jnp.clip(mlabels, 0, self.num_classes - 1).reshape(-1),
+            pvalid.reshape(-1), loss_enable=loss_enable,
+        )
+        return {**box_losses, "loss_mask": loss_mask}
+
+    # --------------------------------------------------------------- test
+    def simple_test(self, img, img_wh):
+        """Single-scale inference. ``img_wh``: (B, 2) true (w, h)."""
+        b, h, w, _ = img.shape
+        out, roi_map, _ = self._extract(img)
+        fpn_feats = self.neck(out["feature"])
+        cls_scores, bbox_preds = self.rpn_head(fpn_feats)
+        featmap_sizes = [f.shape[1:3] for f in fpn_feats]
+        props = rpn_proposals(
+            cls_scores, bbox_preds, grid_anchors_per_level(featmap_sizes),
+            (h, w), nms_pre=1000, max_per_img=self.num_proposals,
+        )
+        roi_feats = self._roi_feats(roi_map, props.boxes, 7)
+        cls_score, bbox_pred, _ = self.bbox_head(roi_feats)
+        n = self.num_proposals
+        scores = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
+        deltas = bbox_pred.reshape(b, n, self.num_classes, 4)
+        rois = props.boxes  # (B, N, 4)
+        decoded = delta2bbox(
+            rois[:, :, None, :], deltas, stds=(0.1, 0.1, 0.2, 0.2)
+        )  # (B, N, C, 4)
+        # clip to the true image area
+        wmax = img_wh[:, 0][:, None, None]
+        hmax = img_wh[:, 1][:, None, None]
+        decoded = jnp.stack(
+            [
+                jnp.clip(decoded[..., 0], 0, wmax),
+                jnp.clip(decoded[..., 1], 0, hmax),
+                jnp.clip(decoded[..., 2], 0, wmax),
+                jnp.clip(decoded[..., 3], 0, hmax),
+            ],
+            axis=-1,
+        )
+
+        def nms_one(bx, sc, val):
+            return multiclass_nms(
+                bx.reshape(n, -1), sc, self.test_score_thr, self.test_iou_thr,
+                self.test_max_per_img, box_valid=val,
+            )
+
+        dets = jax.vmap(nms_one)(decoded, scores, props.valid)
+
+        mask_feats = self._roi_feats(roi_map, dets.boxes, 14)
+        mask_logits = self.mask_head(mask_feats)  # (B*K, 28, 28, C)
+        k = self.test_max_per_img
+        probs = jax.nn.sigmoid(mask_logits).reshape(b, k, 28, 28, self.num_classes)
+        sel = jnp.take_along_axis(
+            probs, dets.labels[..., None, None, None], axis=-1
+        )[..., 0]  # (B, K, 28, 28)
+        return TestOutputs(dets=dets, mask_probs=sel)

@@ -1,0 +1,164 @@
+"""Per-image pseudo-label engine: glue for Stages A-C.
+
+Pure fixed-shape functions combining rollout/CAM/refine/meanshift into
+the two per-image computations the detector orchestrates around the MIL
+head (which owns parameters and therefore lives in the flax module):
+
+- ``candidate_boxes``   — Stage A minus MIL: matched point tokens ->
+  per-layer CAMs -> per-(instance, layer) candidate boxes
+  (`seed_pseudo_gt:2237-2307`).
+- ``masks_and_centers`` — Stages B+C after MIL selection: refined fg/bg
+  maps, pseudo masks, mask supervision points (reference semantics:
+  sampled NEGATIVES + semantic-center POSITIVES,
+  `update_coords_with_semantic_centers:119-142`), semantic centers
+  (`seed_pseudo_gt:2331-2363`).
+
+TPU design note: the reference upsamples every CAM to full image
+resolution before thresholding + CUDA connected components
+(`seed_pseudo_gt:2275`). We binarise and label at a configurable
+``cam_stride`` (default 4, i.e. 4x4-pixel boxes quantisation) which cuts
+CCL work 16x with negligible effect on the mirror-expanded pseudo boxes;
+``cam_stride=1`` reproduces the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.image import resize
+from .cam import bbox_from_cam
+from .meanshift import SemanticCenters, semantic_centers
+from .refine import cosine_similarity_refined_map, sample_mask_points
+
+__all__ = ["candidate_boxes", "masks_and_centers", "PseudoLabels"]
+
+
+def candidate_boxes(
+    rollout_rows: jnp.ndarray,
+    assigned_token: jnp.ndarray,
+    gt_points: jnp.ndarray,
+    patch_hw: tuple[int, int],
+    img_hw: tuple[int, int],
+    seed_thr: float = 0.2,
+    seed_multiple: float = 0.5,
+    cam_stride: int = 4,
+    ccl_iters: int = 64,
+):
+    """Stage A candidates for one image.
+
+    Args:
+        rollout_rows: (L, P, T) rollout point-token rows (L = cam_layer).
+        assigned_token: (G,) point-token index matched to each gt.
+        gt_points: (G, 2) annotated xy (image coords).
+        patch_hw: (Hp, Wp); img_hw: (H, W) padded image size.
+
+    Returns:
+        cand_boxes: (G, L, 4) per-layer pseudo boxes (image coords),
+        cams: (L, G, Hp, Wp) the matched attention maps (patch res).
+    """
+    l, p, t = rollout_rows.shape
+    hp, wp = patch_hw
+    h, w = img_hw
+    n_patch = hp * wp
+    # key slice: skip cls token, drop the point-token block
+    patch_rows = rollout_rows[:, :, 1 : 1 + n_patch]  # (L, P, N)
+    cams = patch_rows[:, assigned_token, :].reshape(l, -1, hp, wp)  # (L, G, Hp, Wp)
+
+    sh, sw = h // cam_stride, w // cam_stride
+    cams_up = resize(cams, (sh, sw))  # bilinear, torch half-pixel semantics
+
+    def one(cam, pt):
+        box = bbox_from_cam(
+            cam, pt / cam_stride, cam_thr=seed_thr, area_ratio=seed_multiple,
+            ccl_iters=ccl_iters,
+        )
+        return box * cam_stride
+
+    # vmap over layers then instances
+    boxes = jax.vmap(jax.vmap(one, in_axes=(0, 0)), in_axes=(0, None))(
+        cams_up, gt_points
+    )  # (L, G, 4)
+    return boxes.transpose(1, 0, 2), cams
+
+
+class PseudoLabels(NamedTuple):
+    map_fg: jnp.ndarray  # (G, H, W)
+    pseudo_masks: jnp.ndarray  # (G, H, W) uint8
+    point_coords: jnp.ndarray  # (G, NP, 2) xy, -1 = pad
+    point_labels: jnp.ndarray  # (G, NP) int32 {0 neg, 1 pos, 2 ignore}
+    centers: SemanticCenters
+
+
+def masks_and_centers(
+    rng: jax.Array,
+    best_cams: jnp.ndarray,
+    vit_feat: jnp.ndarray,
+    boxes: jnp.ndarray,
+    gt_points: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    pos_mask_thr: float = 0.35,
+    neg_mask_thr: float = 0.8,
+    num_mask_point_gt: int = 10,
+    corr_size: int = 21,
+    obj_tau: float = 0.9,
+    refine_times: int = 2,
+    mean_shift_times: int = 10,
+    num_semantic_points: int = 5,
+) -> PseudoLabels:
+    """Stages B+C for one image.
+
+    Args:
+        best_cams: (G, H, W) full-res MIL-selected attention maps.
+        vit_feat: (D, Hp, Wp) detached patch features.
+        boxes: (G, 4) MIL-selected pseudo boxes.
+    """
+    k_refine, k_points = jax.random.split(rng)
+    g, h, w = best_cams.shape
+
+    maps = cosine_similarity_refined_map(
+        k_refine, best_cams, vit_feat, boxes, gt_points, valid,
+        thr_pos=0.2, thr_neg=0.1, num_points=20,
+        refine_times=refine_times, obj_tau=obj_tau,
+    )
+    # binary pseudo masks (`seed_pseudo_gt:2356-2358`)
+    mx = maps.map_fg.max(axis=(-2, -1), keepdims=True)
+    pseudo_masks = (maps.map_fg > mx * pos_mask_thr).astype(jnp.uint8)
+    pseudo_masks = pseudo_masks * valid[:, None, None].astype(jnp.uint8)
+
+    pts_xy, pts_lbl = sample_mask_points(
+        k_points, maps.map_fg, maps.map_bg, boxes,
+        num_gt=num_mask_point_gt, pos_thr=pos_mask_thr, neg_thr=neg_mask_thr,
+        corr_size=corr_size,
+    )
+
+    centers = semantic_centers(
+        maps.map_fg, maps.map_bg, boxes, vit_feat, gt_labels, valid,
+        pos_thr=pos_mask_thr, n_shift=mean_shift_times,
+        num_semantic_points=num_semantic_points,
+    )
+
+    # reference semantics (`update_coords_with_semantic_centers`): keep
+    # only the sampled NEGATIVES; semantic centers become the positives.
+    max_parts = centers.coords.shape[1]
+    np_total = num_mask_point_gt + max_parts
+    neg_keep = (~pts_lbl) & (pts_xy[..., 0] >= 0)
+    samp_lbl = jnp.where(neg_keep, 0, 2).astype(jnp.int32)  # dropped pos -> ignore
+    samp_xy = jnp.where(neg_keep[..., None], pts_xy, -1.0)
+    ctr_lbl = jnp.where(centers.part_valid, 1, 2).astype(jnp.int32)
+    ctr_xy = jnp.where(centers.part_valid[..., None], centers.coords, -1.0)
+    point_coords = jnp.concatenate([samp_xy, ctr_xy], axis=1)  # (G, NP, 2)
+    point_labels = jnp.concatenate([samp_lbl, ctr_lbl], axis=1)
+    point_labels = jnp.where(valid[:, None], point_labels, 2)
+    assert point_coords.shape[1] == np_total
+
+    return PseudoLabels(
+        map_fg=maps.map_fg,
+        pseudo_masks=pseudo_masks,
+        point_coords=point_coords,
+        point_labels=point_labels,
+        centers=centers,
+    )
