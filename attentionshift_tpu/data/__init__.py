@@ -1,0 +1,14 @@
+from .loader import TrainLoader
+from .pipeline import IMAGENET_MEAN, IMAGENET_STD, TestPipeline, TrainPipeline
+from .voc import VOC_CLASSES, VOCInstanceEvalDataset, VOCPointDataset
+
+__all__ = [
+    "TrainLoader",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+    "TestPipeline",
+    "TrainPipeline",
+    "VOC_CLASSES",
+    "VOCInstanceEvalDataset",
+    "VOCPointDataset",
+]

@@ -1,0 +1,10 @@
+from .masks import finalize_detections, paste_masks_np
+from .mean_ap_segm import eval_map_segm, mask_iou, voc_ap
+
+__all__ = [
+    "finalize_detections",
+    "paste_masks_np",
+    "eval_map_segm",
+    "mask_iou",
+    "voc_ap",
+]

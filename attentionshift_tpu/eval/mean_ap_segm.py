@@ -1,0 +1,121 @@
+"""VOC-style instance-segmentation mAP (the reference's ``mAP_Segm``).
+
+Reimplements `mmdet/core/evaluation/mean_ap_segm.py:114-166`, which
+delegates to chainercv's ``calc_instance_segmentation_voc_prec_rec`` +
+``calc_detection_voc_ap`` (07 metric). chainercv is unavailable here, so
+the algorithm is written out directly:
+
+per class: order predictions by score (globally), greedy-match each to
+the highest-IoU unmatched GT in its image (mask IoU >= iou_thresh ->
+TP, else FP), accumulate precision/recall, AP = 11-point interpolation
+(VOC2007) or area-under-PR (use_07_metric=False).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Sequence
+
+import numpy as np
+
+__all__ = ["mask_iou", "eval_map_segm", "voc_ap"]
+
+
+def mask_iou(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """(N, H, W) x (M, H, W) boolean masks -> (N, M) IoU."""
+    n, m = len(pred), len(gt)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float64)
+    p = pred.reshape(n, -1).astype(np.float64)
+    g = gt.reshape(m, -1).astype(np.float64)
+    inter = p @ g.T
+    union = p.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    return inter / np.maximum(union, 1.0)
+
+
+def voc_ap(prec: np.ndarray, rec: np.ndarray, use_07_metric: bool = True) -> float:
+    if len(prec) == 0:
+        return float("nan")
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = prec[rec >= t]
+            ap += (p.max() if len(p) else 0.0) / 11.0
+        return float(ap)
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    mpre = np.concatenate([[0.0], prec, [0.0]])
+    mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]).sum())
+
+
+def eval_map_segm(
+    pred_masks: Sequence[np.ndarray],
+    pred_labels: Sequence[np.ndarray],
+    pred_scores: Sequence[np.ndarray],
+    gt_masks: Sequence[np.ndarray],
+    gt_labels: Sequence[np.ndarray],
+    num_classes: int,
+    iou_thresh: float = 0.5,
+    use_07_metric: bool = True,
+):
+    """Args (one entry per image):
+        pred_masks[i]: (Ni, H, W) bool; pred_labels[i]: (Ni,);
+        pred_scores[i]: (Ni,); gt_masks[i]: (Mi, H, W) bool;
+        gt_labels[i]: (Mi,).
+
+    Returns (mAP, per-class AP array (num_classes,), per-class stats).
+    """
+    # per class: score list and match flags
+    scores = defaultdict(list)
+    matches = defaultdict(list)
+    n_gt = np.zeros((num_classes,), np.int64)
+
+    for pm, pl, ps, gm, gl in zip(
+        pred_masks, pred_labels, pred_scores, gt_masks, gt_labels
+    ):
+        for c in range(num_classes):
+            n_gt[c] += int((gl == c).sum())
+        order = np.argsort(-ps)
+        pm, pl, ps = (
+            [pm[i] for i in order],
+            pl[order] if len(pl) else pl,
+            ps[order] if len(ps) else ps,
+        )
+        for c in np.unique(pl).tolist() if len(pl) else []:
+            sel = np.where(pl == c)[0]
+            gsel = np.where(gl == c)[0]
+            gts = gm[gsel] if len(gsel) else np.zeros((0,) + (gm.shape[1:] if len(gm) else (1, 1)), bool)
+            used = np.zeros(len(gsel), bool)
+            preds = np.stack([pm[i] for i in sel]) if len(sel) else None
+            iou = mask_iou(preds, gts) if preds is not None else None
+            for k, i in enumerate(sel):
+                scores[c].append(float(ps[i]))
+                if iou is None or iou.shape[1] == 0:
+                    matches[c].append(0)
+                    continue
+                j = int(np.argmax(np.where(used, -1.0, iou[k])))
+                if iou[k, j] >= iou_thresh and not used[j]:
+                    used[j] = True
+                    matches[c].append(1)
+                else:
+                    matches[c].append(0)
+
+    aps = np.full((num_classes,), np.nan)
+    for c in range(num_classes):
+        if n_gt[c] == 0:
+            continue
+        if not scores[c]:
+            aps[c] = 0.0
+            continue
+        sc = np.asarray(scores[c])
+        mt = np.asarray(matches[c])
+        order = np.argsort(-sc)
+        tp = np.cumsum(mt[order])
+        fp = np.cumsum(1 - mt[order])
+        rec = tp / n_gt[c]
+        prec = tp / np.maximum(tp + fp, 1)
+        aps[c] = voc_ap(prec, rec, use_07_metric)
+
+    mean_ap = float(np.nanmean(aps)) if np.isfinite(aps).any() else 0.0
+    return mean_ap, aps, dict(num_gts=n_gt)

@@ -166,13 +166,63 @@ class AttnShiftDetector(nn.Module):
                 (``LossWeightAdjustHook``; 1.0 from epoch 0 in the VOC cfg).
         """
         b, h, w, _ = img.shape
-        g = gt_points.shape[1]
         out, roi_map, (hp, wp) = self._extract(img, deterministic=False)
         rng = self.make_rng("sampling")
         k_rpn, k_rcnn, k_engine = jax.random.split(rng, 3)
 
         point_cls = out["outputs_class"]  # (B, P, C)
         point_reg = out["outputs_coord"]  # (B, P, 2)
+
+        assigned, pseudo_boxes, best_idx, mil_loss, pl = self._seed(
+            k_engine, out, roi_map, (hp, wp), (h, w),
+            gt_points, gt_labels, gt_valid, img_wh,
+        )
+
+        losses = {"loss_mil": mil_loss}
+
+        # ---- RPN on pseudo boxes
+        fpn_feats = self.neck(out["feature"])
+        cls_scores, bbox_preds = self.rpn_head(fpn_feats)
+        featmap_sizes = [f.shape[1:3] for f in fpn_feats]
+        anchors = grid_anchors(featmap_sizes)
+        losses.update(
+            rpn_loss(k_rpn, cls_scores, bbox_preds, anchors, pseudo_boxes, gt_valid)
+        )
+        props = rpn_proposals(
+            cls_scores, bbox_preds, grid_anchors_per_level(featmap_sizes),
+            (h, w), nms_pre=self.rpn_nms_pre, max_per_img=self.num_proposals,
+        )
+
+        # ---- point-token losses (`stdroi:3431-3514`)
+        losses.update(
+            self._point_losses(point_cls, point_reg, assigned, gt_points, gt_labels, img_wh)
+        )
+
+        # ---- RCNN box + mask heads
+        losses.update(
+            self._rcnn_losses(
+                k_rcnn, roi_map, props, pseudo_boxes, gt_labels, gt_valid,
+                pl.point_coords, pl.point_labels, loss_enable,
+            )
+        )
+        aux = dict(
+            pseudo_boxes=pseudo_boxes,
+            pseudo_valid=gt_valid,
+            pseudo_masks=pl.pseudo_masks,
+            best_idx=best_idx,
+            semantic_centers=pl.centers.coords,
+            semantic_valid=pl.centers.part_valid,
+            map_fg=pl.map_fg,
+        )
+        return losses, aux
+
+    def _seed(self, rng, out, roi_map, patch_hw, img_hw, gt_points, gt_labels, gt_valid, img_wh):
+        """Stages A-C (`seed_pseudo_gt`, `stdroi:2209-2415`)."""
+        hp, wp = patch_hw
+        h, w = img_hw
+        b, g = gt_points.shape[:2]
+        point_cls = out["outputs_class"]
+        point_reg = out["outputs_coord"]
 
         # ---- Stage A: Hungarian token match + rollout CAMs + candidates
         rollout = attention_rollout_point_rows(out["attns"], self.point_tokens)
@@ -235,47 +285,38 @@ class AttnShiftDetector(nn.Module):
             )
 
         pl = jax.vmap(engine_one)(
-            jax.random.split(k_engine, b), best_cams, vit_feat,
+            jax.random.split(rng, b), best_cams, vit_feat,
             pseudo_boxes, gt_points, gt_labels, gt_valid,
         )
+        return assigned, pseudo_boxes, best_idx, mil_loss, pl
 
-        losses = {"loss_mil": mil_loss}
+    def seed_pseudo_gt(self, img, gt_points, gt_labels, gt_valid, img_wh):
+        """Standalone pseudo-label generation (the benchmark path).
 
-        # ---- RPN on pseudo boxes
-        fpn_feats = self.neck(out["feature"])
-        cls_scores, bbox_preds = self.rpn_head(fpn_feats)
-        featmap_sizes = [f.shape[1:3] for f in fpn_feats]
-        anchors = grid_anchors(featmap_sizes)
-        losses.update(
-            rpn_loss(k_rpn, cls_scores, bbox_preds, anchors, pseudo_boxes, gt_valid)
+        Returns a dict mirroring the reference's ``seed_pseudo_gt`` output
+        contract (`stdroi:2377-2415`): pseudo boxes/masks, supervision
+        points, semantic centers, the MIL bag loss and best layer index.
+        """
+        b, h, w, _ = img.shape
+        out, roi_map, (hp, wp) = self._extract(img, deterministic=True)
+        rng = self.make_rng("sampling")
+        _, pseudo_boxes, best_idx, mil_loss, pl = self._seed(
+            rng, out, roi_map, (hp, wp), (h, w),
+            gt_points, gt_labels, gt_valid, img_wh,
         )
-        props = rpn_proposals(
-            cls_scores, bbox_preds, grid_anchors_per_level(featmap_sizes),
-            (h, w), nms_pre=self.rpn_nms_pre, max_per_img=self.num_proposals,
-        )
-
-        # ---- point-token losses (`stdroi:3431-3514`)
-        losses.update(
-            self._point_losses(point_cls, point_reg, assigned, gt_points, gt_labels, img_wh)
-        )
-
-        # ---- RCNN box + mask heads
-        losses.update(
-            self._rcnn_losses(
-                k_rcnn, roi_map, props, pseudo_boxes, gt_labels, gt_valid,
-                pl.point_coords, pl.point_labels, loss_enable,
-            )
-        )
-        aux = dict(
-            pseudo_boxes=pseudo_boxes,
-            pseudo_valid=gt_valid,
-            pseudo_masks=pl.pseudo_masks,
-            best_idx=best_idx,
+        return dict(
+            pseudo_gt_bboxes=pseudo_boxes,
+            pseudo_gt_labels=gt_labels,
+            pseudo_gt_valid=gt_valid,
+            pseudo_gt_masks=pl.pseudo_masks,
+            mask_points_coords=pl.point_coords,
+            mask_points_labels=pl.point_labels,
+            map_cos_fg=pl.map_fg,
             semantic_centers=pl.centers.coords,
-            semantic_valid=pl.centers.part_valid,
-            map_fg=pl.map_fg,
+            semantic_centers_valid=pl.centers.part_valid,
+            best_attn_idx=best_idx,
+            loss_mil=mil_loss,
         )
-        return losses, aux
 
     def _point_losses(self, point_cls, point_reg, assigned, gt_points, gt_labels, img_wh):
         b, p, c = point_cls.shape

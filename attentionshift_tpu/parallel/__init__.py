@@ -1,0 +1,3 @@
+from .mesh import batch_sharding, make_mesh, replicate, shard_batch
+
+__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]

@@ -1,0 +1,158 @@
+"""Optimizer: AdamW with per-ViT-block layer decay + grad accumulation.
+
+Rebuilds the reference training recipe
+(`configs/mae/attnshift_voc12aug.py:252-266`,
+`mmcv_custom/layer_decay_optimizer_constructor.py:30-98`,
+`mmdet/utils/optimizer.py:10-38`):
+
+- AdamW lr 1e-4, wd 0.05;
+- per-parameter lr scale ``decay^(num_layers - layer_id - 1)`` with
+  num_layers = depth + 2; layer_id 0 for patch-embed/cls-token/pos-embed,
+  i+1 for block i, num_layers-1 for everything else;
+- no weight decay for 1-D params, biases, ``*_token``, ``*pos_embed``;
+- gradient accumulation (update_interval=2) via ``optax.MultiSteps``
+  (grad averaging == the reference's loss/interval scaling);
+- step LR [8, 11] x0.1 with 500-iter linear warmup from ratio 1e-3
+  (`configs/_base_/schedules/schedule_1x.py`).
+
+The reference runs apex-amp O1 fp16 with loss scaling; on TPU we train
+in bf16 activations / f32 params, which needs no loss scaler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "vit_layer_id",
+    "lr_scale_tree",
+    "weight_decay_mask",
+    "step_lr_schedule",
+    "build_optimizer",
+]
+
+
+def vit_layer_id(path: tuple[str, ...], num_layers: int) -> int:
+    """Layer id of a param path (``get_num_layer_for_vit`` semantics).
+
+    ``path`` is the flattened pytree key path, e.g.
+    ('backbone', 'blocks_3', 'attn', 'qkv', 'kernel').
+    """
+    if not path or path[0] != "backbone":
+        return num_layers - 1
+    if len(path) >= 2:
+        name = path[1]
+        if name in ("cls_token", "pos_embed") or name.startswith("patch_embed"):
+            return 0
+        if name.startswith("blocks_"):
+            return int(name.split("_")[-1]) + 1
+    return num_layers - 1
+
+
+def _key_path(kp) -> tuple[str, ...]:
+    out = []
+    for k in kp:
+        if hasattr(k, "key"):
+            out.append(str(k.key))
+        elif hasattr(k, "name"):
+            out.append(str(k.name))
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
+def lr_scale_tree(params: Any, layer_decay: float, depth: int) -> Any:
+    """Per-leaf lr multiplier pytree."""
+    num_layers = depth + 2
+
+    def scale(kp, _):
+        lid = vit_layer_id(_key_path(kp), num_layers)
+        return layer_decay ** (num_layers - lid - 1)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def weight_decay_mask(params: Any) -> Any:
+    """True where weight decay applies (mmcv no-decay rules)."""
+
+    def use_wd(kp, p):
+        path = _key_path(kp)
+        name = path[-1] if path else ""
+        full = ".".join(path)
+        if p.ndim <= 1 or name == "bias":
+            return False
+        if full.endswith("_token") or "pos_embed" in full:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(use_wd, params)
+
+
+def step_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    decay_epochs: Sequence[int] = (8, 11),
+    gamma: float = 0.1,
+    warmup_iters: int = 500,
+    warmup_ratio: float = 1e-3,
+) -> optax.Schedule:
+    """mmcv step policy with linear warmup."""
+    boundaries = {int(e * steps_per_epoch): gamma for e in decay_epochs}
+
+    def sched(step):
+        lr = optax.piecewise_constant_schedule(base_lr, boundaries)(step)
+        warm = base_lr * (
+            warmup_ratio + (1.0 - warmup_ratio) * jnp.minimum(step, warmup_iters) / warmup_iters
+        )
+        return jnp.where(step < warmup_iters, warm, lr)
+
+    return sched
+
+
+def _scale_by_tree(scales: Any) -> optax.GradientTransformation:
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(
+    params: Any,
+    base_lr: float = 1e-4,
+    weight_decay: float = 0.05,
+    layer_decay: float = 0.75,
+    depth: int = 12,
+    steps_per_epoch: int = 1000,
+    decay_epochs: Sequence[int] = (8, 11),
+    warmup_iters: int = 500,
+    warmup_ratio: float = 1e-3,
+    accumulate_steps: int = 2,
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    """The full train-recipe optimizer as one optax transformation."""
+    sched = step_lr_schedule(
+        base_lr, steps_per_epoch, decay_epochs, warmup_iters=warmup_iters,
+        warmup_ratio=warmup_ratio,
+    )
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain += [
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(weight_decay, mask=weight_decay_mask(params)),
+        _scale_by_tree(lr_scale_tree(params, layer_decay, depth)),
+        optax.scale_by_learning_rate(sched),
+    ]
+    tx = optax.chain(*chain)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx

@@ -1,0 +1,209 @@
+"""Tests for the data pipeline/loader and the eval stack."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from attentionshift_tpu.data.loader import TrainLoader
+from attentionshift_tpu.data.pipeline import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    TestPipeline,
+    TrainPipeline,
+)
+from attentionshift_tpu.data.voc import VOCInstanceEvalDataset, VOCPointDataset
+from attentionshift_tpu.eval.masks import finalize_detections, paste_masks_np
+from attentionshift_tpu.eval.mean_ap_segm import eval_map_segm, mask_iou, voc_ap
+
+
+# ------------------------------------------------------------ fixtures
+@pytest.fixture(scope="module")
+def mini_voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    imgdir = root / "JPEGImages"
+    imgdir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    sizes = [(200, 300), (320, 240), (150, 150)]
+    for i, (h, w) in enumerate(sizes):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"img_{i}.jpg"
+        Image.fromarray(arr).save(imgdir / name)
+        images.append(dict(id=i, file_name=name, width=w, height=h))
+        for j in range(i + 1):
+            annotations.append(
+                dict(
+                    id=len(annotations), image_id=i, category_id=j % 3 + 1,
+                    point=[float(w) * 0.3 + j * 10, float(h) * 0.4],
+                )
+            )
+    cats = [dict(id=k + 1, name=n) for k, n in enumerate(["aeroplane", "bicycle", "bird"])]
+    ann = dict(images=images, annotations=annotations, categories=cats)
+    ann_file = root / "train.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(imgdir)
+
+
+def test_voc_point_dataset(mini_voc):
+    ann_file, imgdir = mini_voc
+    ds = VOCPointDataset(ann_file, imgdir)
+    assert len(ds) == 3
+    s = ds[1]
+    assert s["img"].shape == (320, 240, 3)
+    assert s["points"].shape == (2, 2)
+    assert s["labels"].tolist() == [0, 1]
+    ds4 = VOCPointDataset(ann_file, imgdir, repeat=4)
+    assert len(ds4) == 12  # RepeatDataset x4
+
+
+def test_train_pipeline_static_bucket(mini_voc):
+    ann_file, imgdir = mini_voc
+    ds = VOCPointDataset(ann_file, imgdir)
+    pipe = TrainPipeline(max_gt=5)
+    rng = np.random.RandomState(0)
+    out = pipe(ds[0], rng)
+    assert out["bucket"] == "landscape"
+    assert out["img"].shape == (TrainPipeline().bucket_hw + (3,))
+    assert out["gt_points"].shape == (5, 2)
+    assert out["gt_valid"].sum() == 1
+    # point stays inside the resized image area
+    w, h = out["img_wh"]
+    p = out["gt_points"][0]
+    assert 0 <= p[0] <= w and 0 <= p[1] <= h
+    # padding region is exactly zero (normalised zeros added by pad)
+    assert np.abs(out["img"][int(h):]).max() == 0
+
+
+def test_train_pipeline_portrait_bucket(mini_voc):
+    ann_file, imgdir = mini_voc
+    ds = VOCPointDataset(ann_file, imgdir)
+    pipe = TrainPipeline(max_gt=5)
+    out = pipe(ds[1], np.random.RandomState(1))  # 320x240 portrait
+    assert out["bucket"] == "portrait"
+    bh, bw = pipe.bucket_hw
+    assert out["img"].shape == (bw, bh, 3)
+
+
+def test_train_loader_batches(mini_voc):
+    ann_file, imgdir = mini_voc
+    ds = VOCPointDataset(ann_file, imgdir, repeat=4)
+    pipe = TrainPipeline(max_gt=5)
+    loader = TrainLoader(ds, pipe, batch_size=2, seed=0, num_threads=2,
+                         drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) >= 3
+    total = sum(b["img"].shape[0] for b in batches)
+    assert total >= len(ds)
+    for b in batches:
+        assert b["img"].ndim == 4
+        assert b["gt_points"].shape[1:] == (5, 2)
+        # homogeneous shapes within a batch (bucket grouping)
+        assert b["img"].shape[0] == 2
+
+
+def test_train_loader_determinism(mini_voc):
+    ann_file, imgdir = mini_voc
+    ds = VOCPointDataset(ann_file, imgdir, repeat=2)
+    pipe = TrainPipeline(max_gt=5)
+    l1 = TrainLoader(ds, pipe, batch_size=2, seed=7, num_threads=1, drop_last=False)
+    l2 = TrainLoader(ds, pipe, batch_size=2, seed=7, num_threads=3, drop_last=False)
+    b1 = {k: v for b in l1.epoch(3) for k, v in [("sum", b["img"].sum())]}
+    b2 = {k: v for b in l2.epoch(3) for k, v in [("sum", b["img"].sum())]}
+    # thread count must not change the sample set (only batch order may vary)
+    s1 = sum(b["img"].sum() for b in l1.epoch(3))
+    s2 = sum(b["img"].sum() for b in l2.epoch(3))
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_host_sharding_partitions(mini_voc):
+    ann_file, imgdir = mini_voc
+    ds = VOCPointDataset(ann_file, imgdir, repeat=4)
+    pipe = TrainPipeline(max_gt=5)
+    idx0 = TrainLoader(ds, pipe, 1, process_index=0, process_count=2)._epoch_indices(0)
+    idx1 = TrainLoader(ds, pipe, 1, process_index=1, process_count=2)._epoch_indices(0)
+    assert set(idx0).isdisjoint(idx1)
+    assert len(idx0) + len(idx1) == len(ds)
+
+
+# ------------------------------------------------------------ eval masks
+def test_mask_iou():
+    a = np.zeros((1, 10, 10), bool)
+    b = np.zeros((2, 10, 10), bool)
+    a[0, :5, :5] = True
+    b[0, :5, :5] = True
+    b[1, 5:, 5:] = True
+    iou = mask_iou(a, b)
+    np.testing.assert_allclose(iou, [[1.0, 0.0]])
+
+
+def test_voc_ap_07():
+    prec = np.asarray([1.0, 1.0, 0.67])
+    rec = np.asarray([0.5, 1.0, 1.0])
+    ap = voc_ap(prec, rec, use_07_metric=True)
+    assert np.isclose(ap, 1.0)  # precision 1.0 available at every recall level
+
+
+def test_eval_map_segm_perfect_and_miss():
+    h = w = 16
+    gt = np.zeros((2, h, w), bool)
+    gt[0, :8, :8] = True
+    gt[1, 8:, 8:] = True
+    gts = [gt]
+    gtl = [np.asarray([0, 1])]
+    # perfect predictions
+    mAP, aps, _ = eval_map_segm(
+        [gt.copy()], [np.asarray([0, 1])], [np.asarray([0.9, 0.8])],
+        gts, gtl, num_classes=2,
+    )
+    assert np.isclose(mAP, 1.0)
+    # wrong class -> AP 0 for both classes
+    mAP2, aps2, _ = eval_map_segm(
+        [gt.copy()], [np.asarray([1, 0])], [np.asarray([0.9, 0.8])],
+        gts, gtl, num_classes=2,
+    )
+    assert np.isclose(mAP2, 0.0)
+
+
+def test_eval_map_segm_duplicate_detection_is_fp():
+    h = w = 16
+    gt = np.zeros((1, h, w), bool)
+    gt[0, :8, :] = True
+    preds = np.stack([gt[0], gt[0]])
+    mAP, aps, _ = eval_map_segm(
+        [preds], [np.asarray([0, 0])], [np.asarray([0.9, 0.8])],
+        [gt], [np.asarray([0])], num_classes=1,
+    )
+    # one TP + one FP at lower score: AP (07) stays 1.0 since precision at
+    # recall 1.0 is reached by the first prediction
+    assert np.isclose(mAP, 1.0)
+    # flip scores: the higher-scored duplicate still matches first (greedy
+    # by score), the other is an FP behind full recall -> AP unchanged
+    mAP2, _, _ = eval_map_segm(
+        [preds], [np.asarray([0, 0])], [np.asarray([0.8, 0.9])],
+        [gt], [np.asarray([0])], num_classes=1,
+    )
+    assert mAP2 <= 1.0 + 1e-9
+
+
+def test_paste_masks_np_center():
+    probs = np.ones((1, 4, 4), np.float32)
+    out = paste_masks_np(probs, np.asarray([[4.0, 4.0, 12.0, 12.0]]), 16, 16)
+    assert out[0, 8, 8] > 0.9
+    assert out[0, 0, 0] == 0.0
+    assert out[0, 2, 8] == 0.0  # above the box
+
+
+def test_finalize_detections_rescales():
+    boxes = np.asarray([[8.0, 8.0, 24.0, 24.0]])
+    probs = np.ones((1, 28, 28), np.float32)
+    out = finalize_detections(
+        boxes, np.asarray([0.9]), np.asarray([3]), np.asarray([True]),
+        probs, scale_wh=np.asarray([2.0, 2.0]), orig_wh=np.asarray([20, 20]),
+    )
+    np.testing.assert_allclose(out["boxes"], [[4.0, 4.0, 12.0, 12.0]])
+    assert out["masks"].shape == (1, 20, 20)
+    assert out["masks"][0, 8, 8]
+    assert not out["masks"][0, 0, 0]

@@ -1,0 +1,159 @@
+"""Tests for optimizer (layer decay), schedule, TrainState, DP train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from attentionshift_tpu.models.detector import AttnShiftDetector
+from attentionshift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from attentionshift_tpu.train.optim import (
+    build_optimizer,
+    lr_scale_tree,
+    step_lr_schedule,
+    vit_layer_id,
+    weight_decay_mask,
+)
+from attentionshift_tpu.train.state import TrainState
+from attentionshift_tpu.train.step import make_train_step
+
+
+def test_vit_layer_id_rules():
+    n = 14  # depth 12 + 2
+    assert vit_layer_id(("backbone", "cls_token"), n) == 0
+    assert vit_layer_id(("backbone", "pos_embed"), n) == 0
+    assert vit_layer_id(("backbone", "patch_embed", "proj", "kernel"), n) == 0
+    assert vit_layer_id(("backbone", "blocks_0", "attn", "qkv", "kernel"), n) == 1
+    assert vit_layer_id(("backbone", "blocks_11", "mlp", "fc1", "bias"), n) == 12
+    assert vit_layer_id(("backbone", "point_token"), n) == 13  # not special-cased
+    assert vit_layer_id(("bbox_head", "fc_cls", "kernel"), n) == 13
+    assert vit_layer_id(("neck", "lateral_0", "kernel"), n) == 13
+
+
+def test_lr_scale_and_wd_mask():
+    params = {
+        "backbone": {
+            "cls_token": jnp.zeros((1, 1, 8)),
+            "pos_embed": jnp.zeros((1, 5, 8)),
+            "blocks_0": {"attn": {"qkv": {"kernel": jnp.zeros((8, 24)), "bias": jnp.zeros((24,))}}},
+            "blocks_11": {"mlp": {"fc1": {"kernel": jnp.zeros((8, 32))}}},
+            "point_token": jnp.zeros((1, 4, 8)),
+        },
+        "bbox_head": {"fc_cls": {"kernel": jnp.zeros((8, 21)), "bias": jnp.zeros((21,))}},
+    }
+    scales = lr_scale_tree(params, layer_decay=0.75, depth=12)
+    assert np.isclose(scales["backbone"]["cls_token"], 0.75**13)
+    assert np.isclose(scales["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"], 0.75**12)
+    assert np.isclose(scales["backbone"]["blocks_11"]["mlp"]["fc1"]["kernel"], 0.75**1)
+    assert np.isclose(scales["bbox_head"]["fc_cls"]["kernel"], 1.0)
+
+    mask = weight_decay_mask(params)
+    assert mask["bbox_head"]["fc_cls"]["kernel"]
+    assert not mask["bbox_head"]["fc_cls"]["bias"]
+    assert not mask["backbone"]["cls_token"]  # ndim>1 but *_token
+    assert not mask["backbone"]["pos_embed"]
+    assert mask["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert not mask["backbone"]["blocks_0"]["attn"]["qkv"]["bias"]
+
+
+def test_step_lr_schedule():
+    sched = step_lr_schedule(1e-4, steps_per_epoch=100, decay_epochs=(8, 11),
+                             warmup_iters=50, warmup_ratio=1e-3)
+    assert np.isclose(float(sched(0)), 1e-4 * 1e-3, rtol=1e-3)
+    assert float(sched(25)) < 1e-4
+    assert np.isclose(float(sched(50)), 1e-4)
+    assert np.isclose(float(sched(799)), 1e-4)
+    assert np.isclose(float(sched(800)), 1e-5)
+    assert np.isclose(float(sched(1100)), 1e-6)
+
+
+def test_multisteps_accumulation():
+    params = {"w": jnp.ones((3,))}
+    tx = build_optimizer(params, base_lr=1.0, accumulate_steps=2,
+                         steps_per_epoch=10, warmup_iters=0, depth=0,
+                         layer_decay=1.0, weight_decay=0.0)
+    state = TrainState.create(params, tx)
+    g = {"w": jnp.ones((3,))}
+    s1 = state.apply_gradients(g)
+    # first micro-step: no update applied yet
+    np.testing.assert_allclose(np.asarray(s1.params["w"]), 1.0)
+    s2 = s1.apply_gradients(g)
+    assert not np.allclose(np.asarray(s2.params["w"]), 1.0)
+
+
+TINY = dict(
+    num_classes=4, embed_dim=48, depth=4, num_heads=6, out_indices=(0, 1, 2, 3),
+    img_size=64, point_tokens=10, cam_layer=3, use_remat=False, max_gt=2,
+    cam_stride=4, ccl_iters=8, num_mask_point_gt=4, corr_size=3,
+    mean_shift_times=2, num_semantic_points=2, rpn_channels=16,
+    num_proposals=16, rpn_nms_pre=16, rcnn_samples=8, mask_sample_cap=4,
+)
+
+
+def test_data_parallel_train_step_8dev():
+    """One DP train step on the virtual 8-device mesh."""
+    ndev = len(jax.devices("cpu"))
+    assert ndev >= 8
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    model = AttnShiftDetector(**TINY)
+    B, H, W, G = 8, 64, 64, 2
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "img": jnp.asarray(np.random.RandomState(0).randn(B, H, W, 3), jnp.float32),
+        "gt_points": jnp.tile(jnp.asarray([[[20.0, 20.0], [40.0, 44.0]]]), (B, 1, 1)),
+        "gt_labels": jnp.tile(jnp.asarray([[1, 3]], jnp.int32), (B, 1)),
+        "gt_valid": jnp.tile(jnp.asarray([[True, True]]), (B, 1)),
+        "img_wh": jnp.tile(jnp.asarray([[64.0, 64.0]]), (B, 1)),
+    }
+    params = model.init(
+        {"params": rng, "sampling": rng, "dropout": rng},
+        batch["img"][:1], batch["gt_points"][:1], batch["gt_labels"][:1],
+        batch["gt_valid"][:1], batch["img_wh"][:1],
+    )
+    tx = build_optimizer(params, steps_per_epoch=10, accumulate_steps=1, depth=4)
+    state = TrainState.create(params, tx)
+
+    with mesh:
+        state = replicate(state, mesh)
+        sharded = shard_batch(batch, mesh)
+        train_step = make_train_step(model, donate=False)
+        new_state, metrics = train_step(state, sharded, rng)
+
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # parameters stay replicated & consistent across devices
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from attentionshift_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    tx = build_optimizer(params, steps_per_epoch=10, accumulate_steps=1, depth=0)
+    state = TrainState.create(params, tx)
+    state = state.apply_gradients({"w": jnp.ones((2, 3)), "b": jnp.ones((3,))})
+    state = state.next_epoch()
+
+    path = save_checkpoint(str(tmp_path), state)
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    # save another epoch; latest should move
+    state2 = state.next_epoch()
+    path2 = save_checkpoint(str(tmp_path), state2)
+    assert latest_checkpoint(str(tmp_path)) == path2
+
+    fresh = TrainState.create(params, tx)
+    restored = restore_checkpoint(path2, fresh)
+    assert int(restored.step) == 1 and int(restored.epoch) == 2
+    np.testing.assert_allclose(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    opt_a = jax.tree.leaves(restored.opt_state)
+    opt_b = jax.tree.leaves(state2.opt_state)
+    for a, b in zip(opt_a, opt_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
