@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core.anchors import grid_anchors, grid_anchors_per_level
 from ..core.assign import hungarian_point_assign, max_iou_assign, random_sample
-from ..core.boxes import delta2bbox
+from ..core.boxes import clip_boxes, delta2bbox
 from ..core.losses import l1_loss, sigmoid_focal_loss
 from ..core.postprocess import Detections, multiclass_nms
 from ..ops.image import resize
@@ -440,6 +440,47 @@ class AttnShiftDetector(nn.Module):
             pvalid.reshape(-1), loss_enable=loss_enable,
         )
         return {**box_losses, "loss_mask": loss_mask}
+
+    # ---------------------------------------------------- aug-test stages
+    def rpn_test(self, img):
+        """Backbone + RPN proposals in this augmentation's frame."""
+        b, h, w, _ = img.shape
+        out, _, _ = self._extract(img)
+        fpn_feats = self.neck(out["feature"])
+        cls_scores, bbox_preds = self.rpn_head(fpn_feats)
+        featmap_sizes = [f.shape[1:3] for f in fpn_feats]
+        return rpn_proposals(
+            cls_scores, bbox_preds, grid_anchors_per_level(featmap_sizes),
+            (h, w), nms_pre=1000, max_per_img=self.num_proposals,
+        )
+
+    def roi_test(self, img, rois):
+        """Box head on given rois: softmax scores + per-class decoded boxes.
+
+        ``rois``: (B, R, 4) in this augmentation's frame.
+        """
+        b, h, w, _ = img.shape
+        _, roi_map, _ = self._extract(img)
+        r = rois.shape[1]
+        roi_feats = self._roi_feats(roi_map, rois, 7)
+        cls_score, bbox_pred, _ = self.bbox_head(roi_feats)
+        scores = jax.nn.softmax(cls_score, axis=-1).reshape(b, r, -1)
+        deltas = bbox_pred.reshape(b, r, self.num_classes, 4)
+        decoded = delta2bbox(rois[:, :, None, :], deltas, stds=(0.1, 0.1, 0.2, 0.2))
+        decoded = clip_boxes(decoded, (h, w))
+        return scores, decoded
+
+    def mask_test(self, img, rois, labels):
+        """Mask head on given rois -> (B, R, 28, 28) probs of ``labels``."""
+        b = img.shape[0]
+        r = rois.shape[1]
+        _, roi_map, _ = self._extract(img)
+        mask_feats = self._roi_feats(roi_map, rois, 14)
+        logits = self.mask_head(mask_feats)
+        probs = jax.nn.sigmoid(logits).reshape(b, r, 28, 28, self.num_classes)
+        return jnp.take_along_axis(
+            probs, labels[..., None, None, None], axis=-1
+        )[..., 0]
 
     # --------------------------------------------------------------- test
     def simple_test(self, img, img_wh):

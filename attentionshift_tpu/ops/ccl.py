@@ -7,11 +7,17 @@ union-find (data-dependent memory traffic), we run iterative min-label
 propagation with pointer jumping:
 
 1. every foreground pixel starts with its own flat index as label,
-2. each step takes the min label over the 3x3 (8-conn) or cross (4-conn)
-   neighbourhood of foreground pixels,
-3. pointer jumping ``L <- L[L]`` (path compression) after each sweep makes
-   convergence effectively logarithmic for blob-like regions,
-4. a ``lax.while_loop`` runs to fixpoint with a safety iteration cap.
+2. each sweep takes the min label over the 3x3 (8-conn) or cross (4-conn)
+   neighbourhood, then min-propagates along ENTIRE foreground runs of
+   every row and column with segmented ``associative_scan``s (both
+   directions) — one sweep crosses arbitrarily long straight stretches,
+   so iterations scale with the number of "turns" in a component, not
+   its diameter,
+3. a ``lax.while_loop`` runs to fixpoint with a safety iteration cap.
+
+All ops are vector ops (reduce_window / scans) — no gathers, which are
+the slow path on TPU (an earlier pointer-jumping formulation spent
+~600ms/step in gather-heavy sweeps; this one runs in <1ms).
 
 Output semantics match cc_torch: background = 0, each component gets a
 distinct positive id (here: min flat index in the component + 1).
@@ -73,17 +79,27 @@ def connected_components(
         fg, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), big
     )
 
+    blocked = ~fg
+
+    def seg_scan(vals, axis, reverse):
+        # min-propagate within contiguous fg runs along one axis
+        def combine(a, b):
+            av, ab = a
+            bv, bb = b
+            return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+        v, _ = jax.lax.associative_scan(
+            combine, (vals, blocked), axis=axis, reverse=reverse
+        )
+        return v
+
     def sweep(labels):
         nmin = _neighbor_min(labels, connectivity)
         labels = jnp.where(fg, jnp.minimum(labels, nmin), big)
-        # pointer jumping: follow the stored flat index twice
-        flat = labels.reshape(-1)
-        safe = jnp.where(flat == big, 0, flat)
-        for _ in range(2):
-            hop = jnp.where(flat == big, big, flat[safe])
-            flat = jnp.minimum(flat, hop)
-            safe = jnp.where(flat == big, 0, flat)
-        return flat.reshape(h, w)
+        for axis in (0, 1):
+            labels = seg_scan(labels, axis, False)
+            labels = seg_scan(labels, axis, True)
+        return jnp.where(fg, labels, big)
 
     def cond(state):
         labels, prev_changed, it = state

@@ -1,0 +1,40 @@
+# AttnShift on Pascal VOC 2012 aug, point supervision.
+# TPU-native counterpart of configs/mae/attnshift_voc12aug.py.
+_base_ = ["_base_/voc_data.py", "_base_/schedule_1x.py"]
+
+pretrained = ""  # path to a torch MAE ViT-S checkpoint (optional)
+
+model = dict(
+    num_classes=20,
+    embed_dim=384,
+    depth=12,
+    num_heads=6,
+    img_size=224,
+    point_tokens=100,
+    cam_layer=7,
+    drop_path_rate=0.05,
+    use_remat=True,
+    # pseudo-label engine (attnshift_voc12aug.py:11-17,101-104)
+    max_gt=20,
+    seed_thr=0.2,
+    seed_multiple=0.5,
+    cam_stride=4,
+    pos_mask_thr=0.35,
+    neg_mask_thr=0.8,
+    num_mask_point_gt=10,
+    corr_size=21,
+    obj_tau=0.9,
+    mean_shift_times=10,
+    num_semantic_points=5,
+    # rpn / rcnn (attnshift_voc12aug.py:146-197)
+    rpn_channels=256,
+    num_proposals=1000,
+    rpn_nms_pre=2000,
+    rcnn_samples=512,
+    rcnn_pos_fraction=0.25,
+    mask_sample_cap=128,
+    # test (attnshift_voc12aug.py:198-214)
+    test_score_thr=0.05,
+    test_iou_thr=0.5,
+    test_max_per_img=100,
+)

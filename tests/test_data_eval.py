@@ -207,3 +207,87 @@ def test_finalize_detections_rescales():
     assert out["masks"].shape == (1, 20, 20)
     assert out["masks"][0, 8, 8]
     assert not out["masks"][0, 0, 0]
+
+
+# ------------------------------------------------------------ coco eval
+def test_coco_segm_eval_perfect():
+    from attentionshift_tpu.eval.coco_eval import coco_segm_eval
+
+    h = w = 24
+    gt = np.zeros((2, h, w), bool)
+    gt[0, :10, :10] = True
+    gt[1, 12:, 12:] = True
+    res = coco_segm_eval(
+        [gt.copy()], [np.asarray([0, 1])], [np.asarray([0.9, 0.8])],
+        [gt], [np.asarray([0, 1])], num_classes=2,
+    )
+    assert np.isclose(res["AP"], 1.0, atol=1e-6)
+    assert np.isclose(res["AP50"], 1.0, atol=1e-6)
+    assert np.isclose(res["AP75"], 1.0, atol=1e-6)
+
+
+def test_coco_segm_eval_partial_overlap():
+    from attentionshift_tpu.eval.coco_eval import coco_segm_eval
+
+    h = w = 24
+    gt = np.zeros((1, h, w), bool)
+    gt[0, 0:10, 0:10] = True
+    pred = np.zeros((1, h, w), bool)
+    pred[0, 0:10, 0:6] = True  # IoU = 60/100 = 0.6
+    res = coco_segm_eval(
+        [pred], [np.asarray([0])], [np.asarray([0.9])],
+        [gt], [np.asarray([0])], num_classes=1,
+    )
+    # matched at IoU 0.5, 0.55, 0.6 only -> AP = 3/10
+    assert np.isclose(res["AP50"], 1.0, atol=1e-6)
+    assert np.isclose(res["AP75"], 0.0, atol=1e-6)
+    assert np.isclose(res["AP"], 0.3, atol=0.05)
+
+
+def test_coco_segm_eval_crowd_ignored():
+    from attentionshift_tpu.eval.coco_eval import coco_segm_eval
+
+    h = w = 16
+    gt = np.zeros((1, h, w), bool)
+    gt[0, :8, :8] = True
+    pred = gt.copy()
+    res = coco_segm_eval(
+        [pred], [np.asarray([0])], [np.asarray([0.9])],
+        [gt], [np.asarray([0])], num_classes=1,
+        gt_iscrowd=[np.asarray([True])],
+    )
+    # only a crowd gt: detection ignored, no scored gt -> class skipped
+    assert res["AP"] == 0.0 or np.isnan(res["per_class"][0])
+
+
+def test_coco_point_dataset(tmp_path):
+    import json as _json
+
+    from attentionshift_tpu.data.coco import COCOEvalDataset, COCOPointDataset
+    from PIL import Image as _Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    _Image.fromarray(np.zeros((20, 30, 3), np.uint8)).save(img_dir / "a.jpg")
+    ann = dict(
+        images=[dict(id=1, file_name="a.jpg", width=30, height=20)],
+        annotations=[
+            dict(id=1, image_id=1, category_id=7, point=[5.0, 6.0],
+                 segmentation=[[2, 2, 10, 2, 10, 10, 2, 10]]),
+            dict(id=2, image_id=1, category_id=9, point=[20.0, 10.0],
+                 segmentation=[[15, 5, 25, 5, 25, 15, 15, 15]]),
+        ],
+        categories=[dict(id=7, name="cat"), dict(id=9, name="dog")],
+    )
+    f = tmp_path / "ann.json"
+    f.write_text(_json.dumps(ann))
+    ds = COCOPointDataset(str(f), str(img_dir))
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["labels"].tolist() == [0, 1]
+
+    ev = COCOEvalDataset(str(f), str(img_dir))
+    gt = ev.gt_instances(0)
+    assert gt["masks"].shape == (2, 20, 30)
+    assert gt["masks"][0, 5, 5] and not gt["masks"][0, 5, 20]
+    assert gt["masks"][1, 10, 20]

@@ -130,3 +130,20 @@ def test_simple_test(model_and_params):
     assert ((mp >= 0) & (mp <= 1)).all()
     bx = np.asarray(out.dets.boxes)
     assert (bx >= 0).all() and (bx[..., 2] <= W).all() and (bx[..., 3] <= H).all()
+
+
+def test_aug_test(model_and_params):
+    from attentionshift_tpu.eval.aug_test import AugTester
+
+    model, params = model_and_params
+    rng = np.random.RandomState(3)
+    img = (rng.rand(100, 140, 3) * 255).astype(np.uint8)
+    tester = AugTester(model, params, scales=[(96, 160), (64, 128)], flip=True)
+    out = tester(img, max_dets=8)
+    assert out["boxes"].shape == (8, 4)
+    assert out["mask_probs"].shape == (8, 28, 28)
+    assert np.isfinite(out["boxes"]).all()
+    assert ((out["mask_probs"] >= 0) & (out["mask_probs"] <= 1)).all()
+    # boxes live in the ORIGINAL frame
+    assert (out["boxes"][:, 0::2] <= 140 + 1e-3).all()
+    assert (out["boxes"][:, 1::2] <= 100 + 1e-3).all()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Evaluation CLI (the `tools/test.py` counterpart).
+
+Usage:
+    python tools/test.py configs/attnshift_voc12aug.py work_dirs/voc/epoch_12 \
+        --eval mAP_Segm
+
+Runs single-scale inference over the VOC val split, pastes masks into
+the original frames, and reports VOC07-metric mask AP at IoU
+{0.25, 0.5, 0.75} (the reference's mAP_Segm protocol,
+`mmdet/datasets/voc_instance.py:35-105`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("ATTNSHIFT_PLATFORM") == "cpu":
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--eval", default="mAP_Segm")
+    p.add_argument("--limit", type=int, default=None, help="eval first N images")
+    p.add_argument("--out", default=None, help="dump raw results json")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from attentionshift_tpu.config import Config
+    from attentionshift_tpu.data.pipeline import TestPipeline
+    from attentionshift_tpu.data.voc import VOC_CLASSES, VOCInstanceEvalDataset
+    from attentionshift_tpu.eval.masks import finalize_detections
+    from attentionshift_tpu.eval.mean_ap_segm import eval_map_segm
+    from attentionshift_tpu.models.detector import AttnShiftDetector
+    from attentionshift_tpu.train import TrainState, restore_checkpoint, build_optimizer
+
+    cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
+    model = AttnShiftDetector(**cfg.model.to_dict())
+    dataset = VOCInstanceEvalDataset(cfg.data.val.split_file, cfg.data.val.voc_root)
+    pipeline = TestPipeline(scale=tuple(cfg.data.test_scale))
+
+    # full param template via abstract init of the TRAIN path (the
+    # checkpoint contains train-only heads the test path never touches)
+    rng = jax.random.PRNGKey(0)
+    bh, bw = pipeline.bucket_hw
+    g = int(cfg.data.max_gt)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": rng, "sampling": rng, "dropout": rng},
+            jnp.zeros((1, bh, bw, 3), jnp.float32),
+            jnp.zeros((1, g, 2), jnp.float32),
+            jnp.zeros((1, g), jnp.int32),
+            jnp.zeros((1, g), bool),
+            jnp.asarray([[float(bw), float(bh)]], jnp.float32),
+        )
+    )
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    if args.checkpoint:
+        tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
+                             depth=int(cfg.model.depth))
+        state = TrainState.create(params, tx)
+        state = restore_checkpoint(args.checkpoint, state)
+        params = state.params
+        print(f"loaded {args.checkpoint}")
+
+    @jax.jit
+    def run(params, img, img_wh):
+        return model.apply(params, img, img_wh, method=AttnShiftDetector.simple_test)
+
+    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    pred_masks, pred_labels, pred_scores, gt_masks, gt_labels = [], [], [], [], []
+    t0 = time.time()
+    for i in range(n):
+        sample = pipeline(dataset[i])
+        img = jnp.asarray(sample["img"])[None]
+        wh = jnp.asarray(sample["img_wh"])[None]
+        out = run(params, img, wh)
+        res = finalize_detections(
+            np.asarray(out.dets.boxes[0]), np.asarray(out.dets.scores[0]),
+            np.asarray(out.dets.labels[0]), np.asarray(out.dets.valid[0]),
+            np.asarray(out.mask_probs[0]),
+            sample["scale_wh"], sample["orig_wh"],
+        )
+        gt = dataset.gt_instances(i)
+        pred_masks.append(res["masks"])
+        pred_labels.append(res["labels"])
+        pred_scores.append(res["scores"])
+        gt_masks.append(gt["masks"])
+        gt_labels.append(gt["labels"])
+        if (i + 1) % 50 == 0:
+            print(f"{i + 1}/{n} images ({(i + 1) / (time.time() - t0):.2f} img/s)")
+
+    results = {}
+    for thr in (0.25, 0.5, 0.75):
+        mAP, aps, _ = eval_map_segm(
+            pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
+            num_classes=len(VOC_CLASSES), iou_thresh=thr,
+        )
+        results[f"mAP@{thr}"] = mAP
+        print(f"--- IoU {thr} ---  mAP: {mAP * 100:.1f}")
+        for c, ap in enumerate(aps):
+            if np.isfinite(ap):
+                print(f"  {VOC_CLASSES[c]:>12s}: {ap * 100:.1f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Training CLI (the `tools/train.py` counterpart).
+
+Usage:
+    python tools/train.py configs/attnshift_voc12aug.py \
+        --work-dir work_dirs/voc --cfg-options optimizer.base_lr=5e-5
+
+Builds the VOC point dataset + loader, the AttnShiftDetector, the
+layer-decay AdamW, a (data, model) mesh over all local devices, then runs
+the epoch loop with per-epoch orbax checkpoints, auto-resume, epoch-gated
+loss weights, and optional per-epoch eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("ATTNSHIFT_PLATFORM") == "cpu":
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--work-dir", default="work_dirs/attnshift")
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--no-auto-resume", action="store_true")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="debug: stop after N optimizer steps")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def build_model(cfg):
+    from attentionshift_tpu.models.detector import AttnShiftDetector
+
+    return AttnShiftDetector(**cfg.model.to_dict())
+
+
+def main():
+    args = parse_args()
+    from attentionshift_tpu.config import Config
+    from attentionshift_tpu.data.loader import TrainLoader
+    from attentionshift_tpu.data.pipeline import TrainPipeline
+    from attentionshift_tpu.data.voc import VOCPointDataset
+    from attentionshift_tpu.models.convert import load_torch_state_dict, mae_to_vit_params
+    from attentionshift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from attentionshift_tpu.train import (
+        TrainState,
+        build_optimizer,
+        latest_checkpoint,
+        make_train_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from attentionshift_tpu.utils import MetricLogger, check_finite_losses
+
+    cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
+    os.makedirs(args.work_dir, exist_ok=True)
+    with open(os.path.join(args.work_dir, "config.json"), "w") as f:
+        json.dump(cfg.to_dict(), f, indent=2, default=str)
+
+    seed = int(cfg.runtime.seed)
+    dataset = VOCPointDataset(
+        cfg.data.train.ann_file, cfg.data.train.img_prefix,
+        repeat=int(cfg.data.train.get("repeat", 1)),
+    )
+    pipeline = TrainPipeline(
+        scales=[tuple(s) for s in cfg.data.train_scales],
+        max_gt=int(cfg.data.max_gt),
+        flip_ratio=float(cfg.data.flip_ratio),
+    )
+    loader = TrainLoader(
+        dataset, pipeline, batch_size=int(cfg.data.batch_size), seed=seed,
+        num_threads=int(cfg.data.num_threads),
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    steps_per_epoch = loader.steps_per_epoch()
+    print(f"dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch")
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(seed)
+    # init with one dummy bucket-shaped batch
+    bh, bw = pipeline.bucket_hw
+    g = int(cfg.data.max_gt)
+    dummy = dict(
+        img=jnp.zeros((1, bh, bw, 3), jnp.float32),
+        gt_points=jnp.zeros((1, g, 2), jnp.float32),
+        gt_labels=jnp.zeros((1, g), jnp.int32),
+        gt_valid=jnp.zeros((1, g), bool),
+        img_wh=jnp.asarray([[float(bw), float(bh)]], jnp.float32),
+    )
+    params = model.init(
+        {"params": rng, "sampling": rng, "dropout": rng},
+        dummy["img"], dummy["gt_points"], dummy["gt_labels"],
+        dummy["gt_valid"], dummy["img_wh"],
+    )
+
+    if cfg.get("pretrained"):
+        sd = load_torch_state_dict(cfg.pretrained)
+        bb = mae_to_vit_params(
+            sd, params["params"]["backbone"], depth=int(cfg.model.depth)
+        )
+        params = {**params, "params": {**params["params"], "backbone": bb}}
+        print(f"loaded MAE pretrain: {cfg.pretrained}")
+
+    tx = build_optimizer(
+        params,
+        base_lr=float(cfg.optimizer.base_lr),
+        weight_decay=float(cfg.optimizer.weight_decay),
+        layer_decay=float(cfg.optimizer.layer_decay),
+        depth=int(cfg.model.depth),
+        steps_per_epoch=steps_per_epoch,
+        decay_epochs=tuple(cfg.schedule.decay_epochs),
+        warmup_iters=int(cfg.schedule.warmup_iters),
+        warmup_ratio=float(cfg.schedule.warmup_ratio),
+        accumulate_steps=int(cfg.optimizer.accumulate_steps),
+        grad_clip=cfg.optimizer.get("grad_clip"),
+    )
+    state = TrainState.create(params, tx)
+
+    resume = args.resume_from
+    if resume is None and not args.no_auto_resume:
+        resume = latest_checkpoint(args.work_dir)
+    if resume:
+        state = restore_checkpoint(resume, state)
+        print(f"resumed from {resume} (epoch {int(state.epoch)})")
+
+    mesh = make_mesh()
+    train_step = make_train_step(model)
+    start_epoch = int(state.epoch)
+    total_epochs = int(cfg.schedule.total_epochs)
+    loss_start = int(cfg.runtime.loss_weight_start_epoch)
+    step_rng = jax.random.PRNGKey(seed + 1)
+    done_steps = 0
+    mlog = MetricLogger(os.path.join(args.work_dir, "train_log.jsonl"))
+
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(start_epoch, total_epochs):
+            t_ep = time.time()
+            for i, batch in enumerate(loader.epoch(epoch)):
+                enable = 1.0 if epoch >= loss_start else 0.0
+                batch = shard_batch(
+                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
+                )
+                state, metrics = train_step(state, batch, step_rng, enable)
+                done_steps += 1
+                if i % int(cfg.runtime.log_interval) == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    check_finite_losses(metrics, step=done_steps)
+                    mlog.update(metrics)
+                    print(mlog.line(epoch, i, steps_per_epoch), flush=True)
+                if args.max_steps and done_steps >= args.max_steps:
+                    break
+            state = state.next_epoch()
+            if jax.process_index() == 0 and (epoch + 1) % int(cfg.runtime.checkpoint_interval) == 0:
+                path = save_checkpoint(args.work_dir, state)
+                print(f"saved {path} ({time.time() - t_ep:.1f}s/epoch)")
+            if args.max_steps and done_steps >= args.max_steps:
+                break
+
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()
