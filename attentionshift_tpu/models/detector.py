@@ -76,7 +76,10 @@ class AttnShiftDetector(nn.Module):
     max_gt: int = 20
     seed_thr: float = 0.2
     seed_multiple: float = 0.5
-    cam_stride: int = 4
+    # CAMs are bilinear upsamplings of 16px-granular patch attention, so
+    # thresholding/CCL at stride 8 loses <8px of box-boundary detail while
+    # cutting the CCL + component-area cost 4x vs the reference's stride 1
+    cam_stride: int = 8
     ccl_iters: int = 64
     pos_mask_thr: float = 0.35
     neg_mask_thr: float = 0.8
@@ -152,8 +155,15 @@ class AttnShiftDetector(nn.Module):
         feats = roi_align(roi_map, rois, spatial_scale=1.0 / 16, output_size=output_size)
         return feats.transpose(0, 2, 3, 1)
 
+    def backbone_forward(self, img):
+        """Backbone-only forward (the EMA teacher's share of the work,
+        `faster_rcnn_pointSup_align_teacher_student.py:36-90`)."""
+        out, _, _ = self._extract(img, deterministic=True)
+        return out
+
     # -------------------------------------------------------------- train
-    def __call__(self, img, gt_points, gt_labels, gt_valid, img_wh, *, loss_enable=1.0):
+    def __call__(self, img, gt_points, gt_labels, gt_valid, img_wh, *,
+                 loss_enable=1.0, teacher=None):
         """Training forward: returns (losses dict, aux dict).
 
         Args:
@@ -173,10 +183,24 @@ class AttnShiftDetector(nn.Module):
         point_cls = out["outputs_class"]  # (B, P, C)
         point_reg = out["outputs_coord"]  # (B, P, 2)
 
+        # EMA-teacher variant: the pseudo-label engine reads the teacher's
+        # attention/features/point predictions; the student's heads train
+        seed_src = teacher if teacher is not None else out
         assigned, pseudo_boxes, best_idx, mil_loss, pl = self._seed(
-            k_engine, out, roi_map, (hp, wp), (h, w),
+            k_engine, seed_src, roi_map, (hp, wp), (h, w),
             gt_points, gt_labels, gt_valid, img_wh,
         )
+        if teacher is not None:
+            # point losses match the STUDENT's predictions
+            def assign_student(cls_p, reg_p, pts, lbls, val, wh):
+                return hungarian_point_assign(
+                    jax.lax.stop_gradient(cls_p), jax.lax.stop_gradient(reg_p),
+                    pts, lbls, val, wh,
+                )
+
+            assigned = jax.vmap(assign_student)(
+                point_cls, point_reg, gt_points, gt_labels, gt_valid, img_wh
+            )
 
         losses = {"loss_mil": mil_loss}
 

@@ -44,7 +44,7 @@ def candidate_boxes(
     img_hw: tuple[int, int],
     seed_thr: float = 0.2,
     seed_multiple: float = 0.5,
-    cam_stride: int = 4,
+    cam_stride: int = 8,
     ccl_iters: int = 64,
 ):
     """Stage A candidates for one image.

@@ -68,8 +68,10 @@ def strided_in_mask(mask: jnp.ndarray, k: int):
 def topk_in_mask(rng: jax.Array, mask: jnp.ndarray, k: int):
     """Draw up to k eligible pixels uniformly WITHOUT replacement.
 
-    Gumbel-top-k over the mask. Slots beyond the eligible count repeat
-    earlier draws cyclically (``fill_in_idx`` semantics). Returns
+    Gumbel-top-k over the mask, using ``approx_max_k`` (TPU-optimised
+    partial sort; exact fallback elsewhere) — exactness is irrelevant
+    for uniform sampling. Slots beyond the eligible count repeat earlier
+    draws cyclically (``fill_in_idx`` semantics). Returns
     (coords (k, 2), per-slot validity (k,), n_eligible).
     """
     h, w = mask.shape
@@ -77,7 +79,8 @@ def topk_in_mask(rng: jax.Array, mask: jnp.ndarray, k: int):
     n = flat.sum().astype(jnp.int32)
     g = jax.random.gumbel(rng, flat.shape)
     scores = jnp.where(flat, g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, k)
+    _, idx = jax.lax.approx_max_k(scores, k)
+    idx = idx.astype(jnp.int32)
     slot = jnp.arange(k)
     valid = slot < n
     # cyclic refill of invalid slots from the valid prefix
