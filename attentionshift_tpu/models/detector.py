@@ -72,6 +72,7 @@ class AttnShiftDetector(nn.Module):
     cam_layer: int = 7
     drop_path_rate: float = 0.05
     use_remat: bool = True
+    use_pallas_attention: bool = False
     # pseudo-label engine
     max_gt: int = 20
     seed_thr: float = 0.2
@@ -114,6 +115,7 @@ class AttnShiftDetector(nn.Module):
             num_classes=self.num_classes,
             capture_layers=self.cam_layer,
             use_remat=self.use_remat,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             name="backbone",
         )

@@ -48,6 +48,7 @@ class Attention(nn.Module):
 
     num_heads: int
     qkv_bias: bool = True
+    use_pallas: bool = False  # fused TPU kernel for capture blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +62,14 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)  # (B, H, N, d)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
+
+        if capture and self.use_pallas:
+            from ..ops.attention import attention_with_capture
+
+            out, attn_mean = attention_with_capture(q, k, v, True)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            return out, attn_mean
 
         logits = jnp.einsum(
             "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
@@ -91,13 +100,15 @@ class Block(nn.Module):
     drop_path: float = 0.0
     capture: bool = False
     deterministic: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         y, attn = Attention(
-            self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+            self.num_heads, self.qkv_bias, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="attn"
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x), self.capture)
         x = x + self._drop_path(y)
         z = Mlp(int(dim * self.mlp_ratio), dim, dtype=self.dtype, name="mlp")(

@@ -64,6 +64,7 @@ class VisionTransformerDet(nn.Module):
     with_fpn: bool = True
     with_point_head: bool = True
     use_remat: bool = True
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,6 +131,7 @@ class VisionTransformerDet(nn.Module):
                 drop_path=dpr[i],
                 capture=capture,
                 deterministic=deterministic,
+                use_pallas=self.use_pallas_attention,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

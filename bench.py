@@ -51,10 +51,11 @@ def main():
 
     dev = jax.devices()[0]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    on_tpu = jax.devices()[0].platform != "cpu"
     model = AttnShiftDetector(
         num_classes=20, embed_dim=384, depth=12, num_heads=6, img_size=224,
         point_tokens=100, cam_layer=7, max_gt=args.max_gt, use_remat=False,
-        dtype=dtype,
+        use_pallas_attention=on_tpu, dtype=dtype,
     )
     b, h, w, g = args.batch, args.height, args.width, args.max_gt
     rng = jax.random.PRNGKey(0)

@@ -1,0 +1,125 @@
+"""Tests for CRF refinement, Sinkhorn, point2bbox, pallas attention, viz."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from attentionshift_tpu.core.sinkhorn import semantic_correspondence, sinkhorn
+from attentionshift_tpu.ops.attention import attention_with_capture
+from attentionshift_tpu.pseudo.crf import feature_affinity, mean_field_refine
+from attentionshift_tpu.pseudo.point2bbox import point2bbox
+from attentionshift_tpu.utils.visualize import (
+    denormalize,
+    draw_detections,
+    dump_pseudo_labels,
+    overlay_heatmap,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ------------------------------------------------------------------- crf
+def test_mean_field_refine_sharpens():
+    h = w = 8
+    rng = np.random.RandomState(0)
+    # two feature clusters
+    feats = np.ones((h * w, 8), np.float32) * 0.1
+    feats[: h * w // 2, 0] = 1.0
+    feats[h * w // 2 :, 1] = 1.0
+    feats += rng.randn(h * w, 8) * 0.01
+    # noisy unary roughly matching cluster 0
+    attn = np.zeros((1, h, w), np.float32)
+    attn[0, : h // 2] = 0.55
+    attn[0, h // 2 :] = 0.45
+    out = mean_field_refine(jnp.asarray(attn), jnp.asarray(feats), num_iter=10)
+    out = np.asarray(out)
+    assert out.shape == (1, h, w)
+    # refined map separates the clusters harder than the unary did
+    assert out[0, : h // 2].mean() > 0.6
+    assert out[0, h // 2 :].mean() < 0.4
+
+
+def test_feature_affinity_props():
+    feats = jnp.asarray(np.random.RandomState(0).randn(16, 4), jnp.float32)
+    aff = np.asarray(feature_affinity(feats, (4, 4)))
+    assert aff.shape == (16, 16)
+    assert (np.diag(aff) == 0).all()
+    assert (aff >= 0).all()
+
+
+# -------------------------------------------------------------- sinkhorn
+def test_sinkhorn_marginals():
+    cost = jnp.asarray(np.random.RandomState(0).rand(5, 7), jnp.float32)
+    p = np.asarray(sinkhorn(cost, num_iter=100))
+    np.testing.assert_allclose(p.sum(1), 1.0 / 5, atol=1e-3)
+    np.testing.assert_allclose(p.sum(0), 1.0 / 7, atol=1e-3)
+
+
+def test_semantic_correspondence_identity():
+    feats = jnp.asarray(np.eye(4, 8), jnp.float32)
+    plan, match = semantic_correspondence(feats, feats, epsilon=0.01)
+    np.testing.assert_array_equal(np.asarray(match), np.arange(4))
+
+
+# ------------------------------------------------------------ point2bbox
+def test_point2bbox():
+    P, C, hp, wp = 6, 5, 8, 8
+    rng = np.random.RandomState(0)
+    cls = jnp.asarray(rng.randn(P, C) * 3, jnp.float32)
+    reg = jnp.asarray(rng.rand(P, 2), jnp.float32)
+    t = 1 + hp * wp + P
+    rows = jnp.asarray(np.abs(rng.rand(P, t)), jnp.float32)
+    dets = point2bbox(cls, reg, rows, (hp, wp), jnp.asarray([128.0, 128.0]),
+                      cam_stride=8, ccl_iters=8)
+    assert dets.boxes.shape == (P, 4)
+    b = np.asarray(dets.boxes)
+    assert (b >= 0).all() and (b[:, 2] <= 128).all()
+    assert np.asarray(dets.valid).dtype == bool
+    # scores/labels consistent with sigmoid-max
+    probs = 1 / (1 + np.exp(-np.asarray(cls)))
+    np.testing.assert_allclose(np.asarray(dets.scores), probs.max(-1), rtol=1e-5)
+
+
+# ------------------------------------------------- pallas attention (CPU fallback)
+def test_attention_with_capture_cpu_fallback():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, 20, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 20, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 20, 8), jnp.float32)
+    out, mean = attention_with_capture(q, k, v, False)
+    assert out.shape == (1, 2, 20, 8)
+    assert mean.shape == (1, 20, 20)
+    np.testing.assert_allclose(np.asarray(mean.sum(-1)), 1.0, rtol=1e-5)
+    # mean_probs carries no gradient
+    g = jax.grad(lambda q: attention_with_capture(q, k, v, False)[1].sum())(q)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+# ---------------------------------------------------------------- visualize
+def test_visualize_roundtrip(tmp_path):
+    img = np.random.RandomState(0).randn(64, 64, 3).astype(np.float32)
+    base = denormalize(img)
+    assert base.dtype == np.uint8
+    heat = np.random.RandomState(1).rand(16, 16)
+    over = overlay_heatmap(base, heat)
+    assert over.shape == base.shape
+    vis = draw_detections(
+        base, np.asarray([[5, 5, 30, 30]]), labels=np.asarray([2]),
+        scores=np.asarray([0.8]), points=np.asarray([[10.0, 10.0]]),
+        masks=np.zeros((1, 64, 64), bool),
+    )
+    assert vis.shape == base.shape
+
+    aux = dict(
+        pseudo_boxes=np.asarray([[5.0, 5.0, 30.0, 30.0], [0, 0, 0, 0]]),
+        pseudo_valid=np.asarray([True, False]),
+        pseudo_masks=np.zeros((2, 64, 64), np.uint8),
+        semantic_centers=np.zeros((2, 3, 2), np.float32),
+        semantic_valid=np.zeros((2, 3), bool),
+        map_fg=np.random.RandomState(2).rand(2, 64, 64).astype(np.float32),
+    )
+    paths = dump_pseudo_labels(str(tmp_path), "img0", img, aux)
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
+    assert len(paths) == 2
