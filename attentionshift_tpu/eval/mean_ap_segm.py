@@ -119,3 +119,74 @@ def eval_map_segm(
 
     mean_ap = float(np.nanmean(aps)) if np.isfinite(aps).any() else 0.0
     return mean_ap, aps, dict(num_gts=n_gt)
+
+
+def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU (numpy, eval-side)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-10)
+
+
+def eval_map(
+    pred_boxes: Sequence[np.ndarray],
+    pred_labels: Sequence[np.ndarray],
+    pred_scores: Sequence[np.ndarray],
+    gt_boxes: Sequence[np.ndarray],
+    gt_labels: Sequence[np.ndarray],
+    num_classes: int,
+    iou_thresh: float = 0.5,
+    use_07_metric: bool = True,
+):
+    """VOC-style BOX mAP (the reference's ``eval_map``,
+    `mmdet/core/evaluation/mean_ap.py` stock path) — identical matching
+    to ``eval_map_segm`` with box IoU."""
+    scores = defaultdict(list)
+    matches = defaultdict(list)
+    n_gt = np.zeros((num_classes,), np.int64)
+    for pb, pl, ps, gb, gl in zip(
+        pred_boxes, pred_labels, pred_scores, gt_boxes, gt_labels
+    ):
+        for c in range(num_classes):
+            n_gt[c] += int((gl == c).sum())
+        for c in np.unique(pl).tolist() if len(pl) else []:
+            sel = np.where(pl == c)[0]
+            sel = sel[np.argsort(-ps[sel])]
+            gsel = np.where(gl == c)[0]
+            iou = box_iou_np(pb[sel], gb[gsel])
+            used = np.zeros(len(gsel), bool)
+            for k, i in enumerate(sel):
+                scores[c].append(float(ps[i]))
+                if iou.shape[1] == 0:
+                    matches[c].append(0)
+                    continue
+                j = int(np.argmax(np.where(used, -1.0, iou[k])))
+                if iou[k, j] >= iou_thresh and not used[j]:
+                    used[j] = True
+                    matches[c].append(1)
+                else:
+                    matches[c].append(0)
+    aps = np.full((num_classes,), np.nan)
+    for c in range(num_classes):
+        if n_gt[c] == 0:
+            continue
+        if not scores[c]:
+            aps[c] = 0.0
+            continue
+        sc = np.asarray(scores[c])
+        mt = np.asarray(matches[c])
+        order = np.argsort(-sc)
+        tp = np.cumsum(mt[order])
+        fp = np.cumsum(1 - mt[order])
+        rec = tp / n_gt[c]
+        prec = tp / np.maximum(tp + fp, 1)
+        aps[c] = voc_ap(prec, rec, use_07_metric)
+    mean_ap = float(np.nanmean(aps)) if np.isfinite(aps).any() else 0.0
+    return mean_ap, aps

@@ -36,7 +36,13 @@ from ..core.losses import giou_loss, softmax_cross_entropy
 from ..ops.image import resize
 from .layers import Block, get_2d_sincos_pos_embed
 
-__all__ = ["MILHead", "BoxHeadRec", "MaskHeadPointSup", "mask_point_loss"]
+__all__ = [
+    "MILHead",
+    "BoxHeadRec",
+    "MaskHeadPointSup",
+    "mask_point_loss",
+    "reconstruction_loss",
+]
 
 
 def _decoder_pos_embed(embed_dim: int, base_grid: int, hp: int, wp: int) -> jnp.ndarray:
@@ -260,6 +266,46 @@ class MaskHeadPointSup(nn.Module):
             x.transpose(0, 3, 1, 2), (up, up), method=self.scale_mode, align_corners=True
         ).transpose(0, 2, 3, 1)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="conv_logits")(x)
+
+
+def reconstruction_loss(
+    rec_pred: jnp.ndarray,
+    rois: jnp.ndarray,
+    img: jnp.ndarray,
+    roi_valid: jnp.ndarray,
+    patch_size: int = 16,
+    rec_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Per-patch normalised-pixel reconstruction MSE for the optional
+    ``with_reconstruct`` branch of the box head
+    (`mae_bbox_head_rec.py:222-263`): the per-patch RGB prediction of
+    each RoI is compared against the per-patch-normalised crop of the
+    input image at the RoI.
+
+    Args:
+        rec_pred: (R, S, S, 3*patch^2) fc_rec output.
+        rois: (R, 5) [batch_idx, xyxy] image-coordinate boxes.
+        img: (B, H, W, 3) normalised input images.
+        roi_valid: (R,) contribution mask.
+    """
+    from ..ops.roi_align import roi_align as _ra
+
+    r, s, _, _ = rec_pred.shape
+    p = patch_size
+    # crop each roi at patch-pixel resolution (S*p x S*p)
+    crop = _ra(
+        img.transpose(0, 3, 1, 2), rois, spatial_scale=1.0, output_size=s * p
+    ).transpose(0, 2, 3, 1)  # (R, S*p, S*p, 3)
+    tgt = crop.reshape(r, s, p, s, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    tgt = tgt.reshape(r, s, s, p * p, 3)
+    mu = tgt.mean(axis=3, keepdims=True)
+    var = tgt.var(axis=3, keepdims=True)
+    tgt = ((tgt - mu) / jnp.sqrt(var + 1e-6)).reshape(r, s, s, 3 * p * p)
+    # reference layout: (p, p, 3) per patch flattened; ours (p*p, 3) — both
+    # are per-patch pixel sets under the same normalisation statistics
+    err = ((rec_pred.astype(jnp.float32) - tgt) ** 2).mean(axis=(1, 2, 3))
+    err = jnp.where(roi_valid, err, 0.0)
+    return rec_weight * err.sum() / jnp.maximum(roi_valid.sum(), 1.0)
 
 
 def mask_point_loss(

@@ -1,0 +1,62 @@
+# AttnShift on MS-COCO, point supervision (ViT-S).
+# TPU-native counterpart of configs/mae/attnshift_deform_attn_dense_
+# contour_semantic_reppoints_attn_randpoints_1x_coco_tune_brightness_qc.py
+# (the reference COCO config; its RepPoints branch referenced a head that
+# was never shipped — here models/reppoints.py provides it).
+_base_ = ["_base_/schedule_1x.py"]
+
+pretrained = ""
+data_root = "/root/datasets/coco"
+
+dataset_type = "coco"
+data = dict(
+    train=dict(
+        type="COCOPointDataset",
+        ann_file=data_root + "/annotations/instances_train2017_points.json",
+        img_prefix=data_root + "/train2017",
+        repeat=1,
+    ),
+    val=dict(
+        type="COCOEvalDataset",
+        ann_file=data_root + "/annotations/instances_val2017.json",
+        img_prefix=data_root + "/val2017",
+    ),
+    batch_size=2,
+    num_threads=8,
+    max_gt=40,  # COCO images carry more instances
+    flip_ratio=0.5,
+    train_scales=[(s, 1333) for s in range(480, 801, 32)],
+    test_scale=(800, 1333),
+)
+
+model = dict(
+    num_classes=80,
+    embed_dim=384,
+    depth=12,
+    num_heads=6,
+    img_size=224,
+    point_tokens=100,
+    cam_layer=12,  # the COCO config rolls out all 12 blocks
+    drop_path_rate=0.05,
+    use_remat=True,
+    max_gt=40,
+    seed_thr=0.2,
+    seed_multiple=0.5,
+    cam_stride=8,
+    pos_mask_thr=0.35,
+    neg_mask_thr=0.8,
+    num_mask_point_gt=20,
+    corr_size=21,
+    obj_tau=0.85,
+    mean_shift_times=10,
+    num_semantic_points=3,
+    rpn_channels=256,
+    num_proposals=1000,
+    rpn_nms_pre=2000,
+    rcnn_samples=512,
+    rcnn_pos_fraction=0.25,
+    mask_sample_cap=128,
+    test_score_thr=0.05,
+    test_iou_thr=0.5,
+    test_max_per_img=100,
+)

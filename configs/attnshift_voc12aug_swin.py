@@ -1,0 +1,35 @@
+# Swin-backbone attention-shift variant (BASELINE config 5).
+# The reference registered a Swin backbone but shipped no attnshift Swin
+# config; this one uses models/swin.py with the attnshift hook (global
+# attention + point tokens on the stride-32 stage).
+_base_ = ["_base_/voc_data.py", "_base_/schedule_1x.py"]
+
+backbone_type = "swin"
+
+swin = dict(
+    embed_dim=96,
+    depths=[2, 2, 6, 2],
+    num_heads=[3, 6, 12, 24],
+    window_size=7,
+    attnshift=True,
+    point_tokens=100,
+    global_blocks=4,
+)
+
+model = dict(
+    num_classes=20,
+    max_gt=20,
+    seed_thr=0.2,
+    seed_multiple=0.5,
+    cam_stride=8,
+    pos_mask_thr=0.35,
+    neg_mask_thr=0.8,
+    num_mask_point_gt=10,
+    corr_size=21,
+    obj_tau=0.9,
+    mean_shift_times=10,
+    num_semantic_points=5,
+    rpn_channels=256,
+    num_proposals=1000,
+    rcnn_samples=512,
+)

@@ -156,3 +156,15 @@ def test_train_cli_and_resume(smoke_config, tmp_path):
     assert set(out) == {"mAP@0.25", "mAP@0.5", "mAP@0.75"}
     for v in out.values():
         assert np.isfinite(v) and 0.0 <= v <= 1.0
+
+
+def test_all_shipped_configs_load():
+    from attentionshift_tpu.config import Config
+
+    for name in ["attnshift_voc12aug.py", "attnshift_coco.py",
+                 "attnshift_voc12aug_ts.py", "attnshift_voc12aug_swin.py"]:
+        cfg = Config.fromfile(os.path.join(REPO, "configs", name))
+        assert "model" in cfg or "swin" in cfg
+    ts = Config.fromfile(os.path.join(REPO, "configs", "attnshift_voc12aug_ts.py"))
+    assert ts.teacher.enabled is True
+    assert ts.model.embed_dim == 384  # inherited through the leaf base

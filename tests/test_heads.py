@@ -130,3 +130,19 @@ def test_mask_point_loss_semantics():
         mask_point_loss(preds, jnp.full((R, P), 2), labels, jnp.zeros((R,), bool))
     )
     assert loss3 == 0.0
+
+
+def test_reconstruction_loss():
+    from attentionshift_tpu.models.heads import reconstruction_loss
+
+    rng = np.random.RandomState(0)
+    R, S, P = 2, 4, 16
+    img = jnp.asarray(rng.randn(1, 128, 128, 3), jnp.float32)
+    rois = jnp.asarray([[0, 8, 8, 72, 72], [0, 16, 16, 80, 80]], jnp.float32)
+    valid = jnp.asarray([True, True])
+    pred = jnp.asarray(rng.randn(R, S, S, 3 * P * P), jnp.float32)
+    l = reconstruction_loss(pred, rois, img, valid)
+    assert np.isfinite(float(l)) and float(l) > 0
+    # invalid rois contribute nothing
+    l0 = reconstruction_loss(pred, rois, img, jnp.asarray([False, False]))
+    assert float(l0) == 0.0

@@ -123,3 +123,31 @@ def test_visualize_roundtrip(tmp_path):
 
     assert all(os.path.exists(p) for p in paths)
     assert len(paths) == 2
+
+
+def test_deformable_conv_attention():
+    from attentionshift_tpu.models.deformable_attention import DeformableConvAttention
+
+    m = DeformableConvAttention(n_heads=2, kernel_size=3)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 16), jnp.float32)
+    params = m.init(KEY, x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda p: (m.apply(p, x) ** 2).sum())(params)
+    tot = sum(float(np.abs(np.asarray(t)).sum()) for t in jax.tree.leaves(g))
+    assert tot > 0
+
+
+def test_eval_map_box():
+    from attentionshift_tpu.eval.mean_ap_segm import eval_map
+
+    gt = [np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)]
+    gl = [np.asarray([0, 1])]
+    m, aps = eval_map(gt, gl, [np.asarray([0.9, 0.8])], gt, gl, num_classes=2)
+    assert np.isclose(m, 1.0, atol=1e-9)
+    m2, _ = eval_map(
+        [np.asarray([[50, 50, 60, 60], [20, 20, 30, 30]], np.float32)], gl,
+        [np.asarray([0.9, 0.8])], gt, gl, num_classes=2,
+    )
+    assert np.isclose(m2, 0.5, atol=1e-9)

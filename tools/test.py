@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--eval", default="mAP_Segm")
     p.add_argument("--limit", type=int, default=None, help="eval first N images")
+    p.add_argument("--aug-test", action="store_true",
+                   help="multi-scale + flip augmented inference (6 scales x2)")
     p.add_argument("--out", default=None, help="dump raw results json")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
@@ -89,20 +91,38 @@ def main():
     def run(params, img, img_wh):
         return model.apply(params, img, img_wh, method=AttnShiftDetector.simple_test)
 
+    aug_tester = None
+    if args.aug_test:
+        from attentionshift_tpu.eval.aug_test import AugTester
+
+        # the reference protocol: 6 scales x flip (voc_instance_aug.py:39-53)
+        scales = [(800, 1333), (600, 1333), (400, 1333),
+                  (800, 1000), (600, 1000), (400, 1000)]
+        aug_tester = AugTester(model, params, scales=scales, flip=True)
+
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
     pred_masks, pred_labels, pred_scores, gt_masks, gt_labels = [], [], [], [], []
     t0 = time.time()
     for i in range(n):
-        sample = pipeline(dataset[i])
-        img = jnp.asarray(sample["img"])[None]
-        wh = jnp.asarray(sample["img_wh"])[None]
-        out = run(params, img, wh)
-        res = finalize_detections(
-            np.asarray(out.dets.boxes[0]), np.asarray(out.dets.scores[0]),
-            np.asarray(out.dets.labels[0]), np.asarray(out.dets.valid[0]),
-            np.asarray(out.mask_probs[0]),
-            sample["scale_wh"], sample["orig_wh"],
-        )
+        if aug_tester is not None:
+            raw = dataset[i]["img"]
+            a = aug_tester(raw)
+            res = finalize_detections(
+                a["boxes"], a["scores"], a["labels"], a["valid"],
+                a["mask_probs"], scale_wh=np.asarray([1.0, 1.0]),
+                orig_wh=np.asarray([raw.shape[1], raw.shape[0]]),
+            )
+        else:
+            sample = pipeline(dataset[i])
+            img = jnp.asarray(sample["img"])[None]
+            wh = jnp.asarray(sample["img_wh"])[None]
+            out = run(params, img, wh)
+            res = finalize_detections(
+                np.asarray(out.dets.boxes[0]), np.asarray(out.dets.scores[0]),
+                np.asarray(out.dets.labels[0]), np.asarray(out.dets.valid[0]),
+                np.asarray(out.mask_probs[0]),
+                sample["scale_wh"], sample["orig_wh"],
+            )
         gt = dataset.gt_instances(i)
         pred_masks.append(res["masks"])
         pred_labels.append(res["labels"])

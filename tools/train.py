@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("JAX_PROCESS_COUNT"):  # multi-host pod: every host runs this
+    jax.distributed.initialize()
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -144,6 +147,14 @@ def main():
         print(f"resumed from {resume} (epoch {int(state.epoch)})")
 
     mesh = make_mesh()
+    use_teacher = bool(cfg.get("teacher", {}).get("enabled", False))
+    if use_teacher:
+        from attentionshift_tpu.train.ema import make_train_step_ts
+
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        train_step_ts = make_train_step_ts(
+            model, momentum=float(cfg.teacher.get("momentum", 0.999))
+        )
     train_step = make_train_step(model)
     start_epoch = int(state.epoch)
     total_epochs = int(cfg.schedule.total_epochs)
@@ -161,7 +172,11 @@ def main():
                 batch = shard_batch(
                     {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
                 )
-                state, metrics = train_step(state, batch, step_rng, enable)
+                if use_teacher:
+                    state, teacher_params, metrics = train_step_ts(
+                        state, teacher_params, batch, step_rng, enable)
+                else:
+                    state, metrics = train_step(state, batch, step_rng, enable)
                 done_steps += 1
                 if i % int(cfg.runtime.log_interval) == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
