@@ -12,8 +12,6 @@ approximation — results match ``scipy.optimize.linear_sum_assignment``.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -12,3 +12,7 @@ __all__ = [
     "VOCInstanceEvalDataset",
     "VOCPointDataset",
 ]
+
+from .coco import COCOEvalDataset, COCOPointDataset
+
+__all__ += ["COCOEvalDataset", "COCOPointDataset"]

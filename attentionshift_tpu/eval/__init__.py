@@ -8,3 +8,9 @@ __all__ = [
     "mask_iou",
     "voc_ap",
 ]
+
+from .aug_test import AugTester
+from .coco_eval import coco_segm_eval
+from .mean_ap_segm import eval_map
+
+__all__ += ["AugTester", "coco_segm_eval", "eval_map"]

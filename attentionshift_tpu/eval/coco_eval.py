@@ -10,7 +10,6 @@ toolkit.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Sequence
 
 import numpy as np

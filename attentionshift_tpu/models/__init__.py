@@ -13,3 +13,21 @@ __all__ = [
     "get_2d_sincos_pos_embed",
     "VisionTransformerDet",
 ]
+
+from .deformable_attention import DeformableConvAttention
+from .detector import AttnShiftDetector, TestOutputs
+from .fpn import FPN
+from .heads import BoxHeadRec, MILHead, MaskHeadPointSup, mask_point_loss, reconstruction_loss
+from .mae_head import MAEDecoderHead
+from .memory_bank import MemoryBank, align_loss, bank_append, init_bank, retrieve_similar
+from .reppoints import RepPointsPartHead, contour_points, refine_fg_maps
+from .rpn import RPNHead, rpn_loss, rpn_proposals
+from .swin import SwinTransformer
+
+__all__ += [
+    "DeformableConvAttention", "AttnShiftDetector", "TestOutputs", "FPN",
+    "BoxHeadRec", "MILHead", "MaskHeadPointSup", "mask_point_loss", "reconstruction_loss",
+    "MAEDecoderHead", "MemoryBank", "align_loss", "bank_append", "init_bank", "retrieve_similar",
+    "RepPointsPartHead", "contour_points", "refine_fg_maps", "RPNHead", "rpn_loss", "rpn_proposals",
+    "SwinTransformer",
+]

@@ -24,7 +24,7 @@ validity masks, proposals to ``num_proposals``, RCNN samples to
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

@@ -24,8 +24,6 @@ explicit weight/valid array so padding contributes exactly zero.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

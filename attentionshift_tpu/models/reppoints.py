@@ -39,7 +39,6 @@ from ..core.losses_geom import chamfer_loss, pts_border_loss
 from ..ops.image import resize
 from ..ops.masks import corrosion
 from ..ops.sampling import point_sample
-from .layers import Block
 
 __all__ = ["RepPointsPartHead", "contour_points", "refine_fg_maps"]
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.assign import max_iou_assign, random_sample
-from ..core.boxes import bbox2delta, clip_boxes, delta2bbox
+from ..core.boxes import bbox2delta, delta2bbox
 from ..core.losses import binary_cross_entropy, l1_loss
 from ..ops.nms import batched_nms
 

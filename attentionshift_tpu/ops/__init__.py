@@ -20,3 +20,7 @@ __all__ = [
     "grid_sample_bilinear",
     "point_sample",
 ]
+
+from .attention import attention_with_capture
+
+__all__.append("attention_with_capture")

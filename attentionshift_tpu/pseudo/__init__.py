@@ -44,3 +44,12 @@ __all__ = [
     "sample_fgbg_points",
     "sample_mask_points",
 ]
+
+from .engine import PseudoLabels, candidate_boxes, masks_and_centers
+from .crf import feature_affinity, mean_field_refine
+from .point2bbox import PointDetections, point2bbox
+
+__all__ += [
+    "PseudoLabels", "candidate_boxes", "masks_and_centers",
+    "feature_affinity", "mean_field_refine", "PointDetections", "point2bbox",
+]

@@ -28,3 +28,7 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
 ]
+
+from .ema import ema_update, make_train_step_ts
+
+__all__ += ["ema_update", "make_train_step_ts"]

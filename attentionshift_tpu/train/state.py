@@ -9,7 +9,7 @@ save/restore atomically. No amp scaler state is needed (bf16).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax

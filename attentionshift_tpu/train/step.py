@@ -14,10 +14,9 @@ Batch contract (all arrays leading-dim = global batch):
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from .state import TrainState
 

@@ -77,6 +77,12 @@ def main():
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     os.makedirs(args.work_dir, exist_ok=True)
+    # collect_env analog (`tools/train.py:140-144` in the reference)
+    import flax, optax, orbax.checkpoint
+
+    print(f"env: jax {jax.__version__}, flax {flax.__version__}, "
+          f"optax {optax.__version__}, devices {jax.devices()}, "
+          f"process {jax.process_index()}/{jax.process_count()}")
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         json.dump(cfg.to_dict(), f, indent=2, default=str)
 
@@ -97,6 +103,14 @@ def main():
     )
     steps_per_epoch = loader.steps_per_epoch()
     print(f"dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch")
+
+    # NumClassCheckHook analog: dataset labels must fit the head
+    max_label = max((int(s.labels.max()) for s in dataset.samples if len(s.labels)),
+                    default=-1)
+    if max_label >= int(cfg.model.num_classes):
+        raise ValueError(
+            f"dataset contains label {max_label} but model.num_classes="
+            f"{cfg.model.num_classes} (NumClassCheckHook)")
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(seed)
