@@ -73,6 +73,7 @@ class AttnShiftDetector(nn.Module):
     drop_path_rate: float = 0.05
     use_remat: bool = True
     use_pallas_attention: bool = False
+    use_pallas_ccl: bool = False
     # pseudo-label engine
     max_gt: int = 20
     seed_thr: float = 0.2
@@ -273,6 +274,7 @@ class AttnShiftDetector(nn.Module):
                 rows, tok, pts, (hp, wp), (h, w),
                 seed_thr=self.seed_thr, seed_multiple=self.seed_multiple,
                 cam_stride=self.cam_stride, ccl_iters=self.ccl_iters,
+                use_pallas_ccl=self.use_pallas_ccl,
             )
 
         cand, cams_patch = jax.vmap(cand_one)(rollout, token_of_gt, gt_points)

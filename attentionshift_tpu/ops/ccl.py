@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_batch"]
 
 
 def _neighbor_min(labels: jnp.ndarray, connectivity: int) -> jnp.ndarray:
@@ -113,3 +113,138 @@ def connected_components(
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
     return jnp.where(fg, labels + 1, 0).astype(jnp.int32)
+
+
+# --------------------------------------------------------------- batched
+def _shift(x: jnp.ndarray, s: int, axis: int, fill_val, forward: bool) -> jnp.ndarray:
+    """x shifted by s along axis (static s, slice+concat, `fill_val` pad).
+
+    forward=True reads the element s BEFORE (prepends fill); False reads
+    the element s AFTER (appends fill). No `rev`/gather — pallas-safe.
+    """
+    n = x.shape[axis]
+    fill_shape = list(x.shape)
+    fill_shape[axis] = s
+    fill = jnp.full(fill_shape, fill_val, x.dtype)
+    starts = [0] * x.ndim
+    limits = list(x.shape)
+    if forward:
+        limits[axis] = n - s
+        return jnp.concatenate([fill, jax.lax.slice(x, starts, limits)], axis=axis)
+    starts[axis] = s
+    return jnp.concatenate([jax.lax.slice(x, starts, limits), fill], axis=axis)
+
+
+def _batch_sweep_body(fg, big):
+    """Build the sweep fn over (M, H, W) labels (shared by kernel + jnp).
+
+    All mask state is int32 (0/1): Mosaic cannot shift/concat i1 vectors.
+    """
+    blocked0 = 1 - fg.astype(jnp.int32)
+    m, h, w = fg.shape
+
+    def seg_scan(vals, axis, reverse):
+        # Hillis-Steele segmented min-scan with static power-of-2 shifts;
+        # reverse scans shift the opposite direction (no flips: `rev` has
+        # no pallas TPU lowering)
+        v = vals
+        b = blocked0
+        fwd = not reverse
+        s = 1
+        n = vals.shape[axis]
+        while s < n:
+            v2 = _shift(v, s, axis, big, fwd)
+            b2 = _shift(b, s, axis, jnp.int32(1), fwd)
+            v = jnp.where(b == 1, v, jnp.minimum(v, v2))
+            b = jnp.maximum(b, b2)
+            s *= 2
+        return v
+
+    def neighbor_min(labels):
+        p = jnp.pad(labels, ((0, 0), (1, 1), (1, 1)), constant_values=big)
+        out = labels
+        for dy in range(3):
+            for dx in range(3):
+                if dy == 1 and dx == 1:
+                    continue
+                out = jnp.minimum(
+                    out, jax.lax.slice(p, (0, dy, dx), (m, dy + h, dx + w))
+                )
+        return out
+
+    def sweep(labels):
+        labels = jnp.where(fg, jnp.minimum(labels, neighbor_min(labels)), big)
+        for axis in (1, 2):
+            labels = seg_scan(labels, axis, False)
+            labels = seg_scan(labels, axis, True)
+        return jnp.where(fg, labels, big)
+
+    return sweep
+
+
+def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters):
+    fg = fg_ref[...] != 0  # (M, H, W)
+    m, h, w = fg.shape
+    big = jnp.int32(2**30)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 1) * w + \
+        jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 2)
+    init = jnp.where(fg, iota, big)
+    sweep = _batch_sweep_body(fg, big)
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = sweep(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    out_ref[...] = jnp.where(fg, labels + 1, 0)
+
+
+def connected_components_batch(
+    masks: jnp.ndarray,
+    connectivity: int = 8,
+    max_iters: int = 256,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Label many (M, H, W) masks at once.
+
+    With ``use_pallas`` the whole fixpoint loop runs inside ONE kernel
+    with all labels VMEM-resident — no HBM roundtrip per sweep (the
+    dominant cost of the XLA formulation: ~36ms -> ~few ms for 56 maps
+    of 64x64 on v5e). 8-connectivity only (the cc_torch semantics).
+    Fallback: vmap of ``connected_components``.
+    """
+    if not use_pallas or connectivity != 8:
+        return jax.vmap(
+            lambda m: connected_components(m, connectivity, max_iters)
+        )(masks)
+
+    from jax.experimental import pallas as pl
+
+    m, h, w = masks.shape
+    # tile the map axis: each grid program converges its own chunk in
+    # VMEM (sized to stay under the scoped-vmem limit with temporaries)
+    w_lanes = (w + 127) // 128 * 128  # lane padding
+    h_sub = (h + 7) // 8 * 8
+    per_map = h_sub * w_lanes * 4
+    tile = m
+    # ~12 live temporaries during a sweep (measured against Mosaic's
+    # scoped-vmem accounting); keep the stack under ~10MB of the 16MB
+    while tile > 1 and tile * per_map * 12 > 10 * 2**20:
+        tile = (tile + 1) // 2
+    pad_m = (m + tile - 1) // tile * tile
+    x = masks.astype(jnp.int32)
+    if pad_m != m:
+        x = jnp.pad(x, ((0, pad_m - m), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ccl_batch_kernel, max_iters=max_iters),
+        grid=(pad_m // tile,),
+        in_specs=[pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((pad_m, h, w), jnp.int32),
+    )(x)
+    return out[:m]

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.ccl import connected_components
 
-__all__ = ["normalize_cam", "bbox_from_cam", "norm_attns"]
+__all__ = ["normalize_cam", "bbox_from_cam", "bbox_from_labels", "norm_attns"]
 
 
 def normalize_cam(cam: jnp.ndarray) -> jnp.ndarray:
@@ -52,10 +52,22 @@ def bbox_from_cam(
     Returns:
         (4,) xyxy pseudo-box.
     """
-    h, w = cam.shape
     binary = normalize_cam(cam) >= cam_thr
     labels = connected_components(binary, max_iters=ccl_iters)  # (H, W) 0=bg
+    return bbox_from_labels(labels, point, area_ratio)
 
+
+def bbox_from_labels(
+    labels: jnp.ndarray,
+    point: jnp.ndarray,
+    area_ratio: float = 0.5,
+) -> jnp.ndarray:
+    """Box seeding from precomputed component labels (0 = background).
+
+    Split out of ``bbox_from_cam`` so callers can batch the CCL across
+    all (instance, layer) maps in one kernel launch.
+    """
+    h, w = labels.shape
     flat = labels.reshape(-1)
     areas = jnp.zeros((h * w + 1,), jnp.int32).at[flat].add(1)
     area_px = areas[flat].reshape(h, w)

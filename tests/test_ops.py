@@ -258,3 +258,22 @@ def test_lsa_matches_scipy(n, m, seed):
     # optimal value must match (assignment itself may differ on ties)
     assert np.isclose(cost[np.arange(n), got].sum(), cost[rows, cols].sum(), atol=1e-4)
     assert len(np.unique(got)) == n  # one-to-one
+
+
+def test_connected_components_batch_fallback_matches_single():
+    import numpy as np
+    from scipy import ndimage
+
+    from attentionshift_tpu.ops.ccl import (
+        connected_components,
+        connected_components_batch,
+    )
+
+    rng = np.random.RandomState(3)
+    masks = np.stack(
+        [ndimage.gaussian_filter(rng.rand(32, 48), 3) > 0.5 for _ in range(5)]
+    )
+    batch = np.asarray(connected_components_batch(jnp.asarray(masks)))
+    for i in range(5):
+        single = np.asarray(connected_components(jnp.asarray(masks[i])))
+        np.testing.assert_array_equal(batch[i], single)
