@@ -61,10 +61,13 @@ class Attention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        if capture and self.use_pallas:
-            from ..ops.attention import attention_with_capture
+        if self.use_pallas:
+            from ..ops.attention import attention_no_capture, attention_with_capture
 
-            out, attn_mean = attention_with_capture(q, k, v, True)
+            if capture:
+                out, attn_mean = attention_with_capture(q, k, v, True)
+            else:
+                out, attn_mean = attention_no_capture(q, k, v, True), None
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
             out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
             return out, attn_mean

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention_with_capture"]
+__all__ = ["attention_with_capture", "attention_no_capture"]
 
 
 def _jnp_reference(q, k, v):
@@ -109,6 +109,65 @@ def _pallas_forward(q, k, v, tile_q: int = 256):
         ),
     )(qp, kp, vp)
     return out[:, :, :t], mean[:, :t, :t]
+
+
+def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, t_real):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    d = q.shape[-1]
+    logits = jax.lax.dot_general(
+        q.astype(jnp.float32) * (d**-0.5), k.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < t_real, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jax.lax.dot_general(
+        probs, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_no_capture(q, k, v, use_pallas: bool = True):
+    """Plain fused attention (no probability emission) — for the
+    non-capture blocks, whose jnp path otherwise materialises the
+    per-head (T, T) matrix in HBM."""
+    if not (use_pallas and q.shape[-1] % 8 == 0):
+        return _jnp_reference(q, k, v)[0]
+    b, h, t, d = q.shape
+    tile_q = 256
+    tpad = ((t + tile_q - 1) // tile_q) * tile_q
+    pad = tpad - t
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_plain_kernel, t_real=t),
+        out_shape=jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
+        grid=(b, tpad // tile_q, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, tpad, d), lambda bi, qi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, tpad, d), lambda bi, qi, hi: (bi, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
+    )(q, k, v)
+    return out[:, :, :t]
+
+
+def _nc_fwd(q, k, v, use_pallas):
+    return attention_no_capture(q, k, v, use_pallas), (q, k, v)
+
+
+def _nc_bwd(use_pallas, res, g_out):
+    return _bwd(use_pallas, res, (g_out, None))
+
+
+attention_no_capture.defvjp(_nc_fwd, _nc_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
