@@ -16,3 +16,7 @@ __all__ = [
 from .coco import COCOEvalDataset, COCOPointDataset
 
 __all__ += ["COCOEvalDataset", "COCOPointDataset"]
+
+from .build import build_eval_dataset, build_train_dataset
+
+__all__ += ["build_eval_dataset", "build_train_dataset"]

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..ops.ccl import connected_components_batch
 from ..ops.image import resize
-from .cam import bbox_from_labels, normalize_cam
+from .cam import bbox_from_labels_batch, normalize_cam
 from .meanshift import SemanticCenters, semantic_centers
 from .refine import cosine_similarity_refined_map, sample_mask_points
 
@@ -75,19 +75,16 @@ def candidate_boxes(
     sh, sw = h // cam_stride, w // cam_stride
     cams_up = resize(cams, (sh, sw))  # bilinear, torch half-pixel semantics
 
-    # batched CCL over all (layer, instance) maps in one launch
+    # batched CCL + sort-based box extraction over all (layer, instance)
+    # maps in single launches (no per-map scatters/gathers)
     binary = jax.vmap(jax.vmap(normalize_cam))(cams_up) >= seed_thr
     labels = connected_components_batch(
         binary.reshape(l * g, sh, sw), max_iters=ccl_iters,
         use_pallas=use_pallas_ccl,
-    ).reshape(l, g, sh, sw)
-
-    def one(lab, pt):
-        return bbox_from_labels(lab, pt / cam_stride, area_ratio=seed_multiple) * cam_stride
-
-    boxes = jax.vmap(jax.vmap(one, in_axes=(0, 0)), in_axes=(0, None))(
-        labels, gt_points
-    )  # (L, G, 4)
+    )
+    pts_rep = jnp.tile(gt_points / cam_stride, (l, 1))  # (L*G, 2)
+    boxes = bbox_from_labels_batch(labels, pts_rep, area_ratio=seed_multiple)
+    boxes = (boxes * cam_stride).reshape(l, g, 4)
     return boxes.transpose(1, 0, 2), cams
 
 

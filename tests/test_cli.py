@@ -168,3 +168,73 @@ def test_all_shipped_configs_load():
     ts = Config.fromfile(os.path.join(REPO, "configs", "attnshift_voc12aug_ts.py"))
     assert ts.teacher.enabled is True
     assert ts.model.embed_dim == 384  # inherited through the leaf base
+
+
+@pytest.fixture(scope="module")
+def coco_tree(tmp_path_factory):
+    """Synthetic COCO tree with polygon segmentations + points."""
+    root = tmp_path_factory.mktemp("coco")
+    (root / "imgs").mkdir()
+    rng = np.random.RandomState(1)
+    images, annotations = [], []
+    for i in range(3):
+        h, w = 120, 160
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "imgs" / f"{i}.jpg")
+        images.append(dict(id=i, file_name=f"{i}.jpg", width=w, height=h))
+        annotations.append(dict(
+            id=2 * i, image_id=i, category_id=1 + i % 2,
+            point=[40.0 + i * 5, 50.0],
+            segmentation=[[20, 30, 70, 30, 70, 80, 20, 80]], iscrowd=0,
+        ))
+        annotations.append(dict(
+            id=2 * i + 1, image_id=i, category_id=2 - i % 2,
+            point=[110.0, 60.0],
+            segmentation=[[90, 40, 140, 40, 140, 90, 90, 90]], iscrowd=0,
+        ))
+    cats = [dict(id=1, name="thing"), dict(id=2, name="stuff")]
+    f = root / "ann.json"
+    f.write_text(json.dumps(dict(images=images, annotations=annotations,
+                                 categories=cats)))
+    return root
+
+
+def test_coco_cli_train_and_eval(coco_tree, tmp_path):
+    cfg = tmp_path / "coco_smoke.py"
+    cfg.write_text(f"""
+model = dict(**{TINY_MODEL!r})
+data = dict(
+    train=dict(
+        type="COCOPointDataset",
+        ann_file={str(coco_tree / 'ann.json')!r},
+        img_prefix={str(coco_tree / 'imgs')!r},
+        repeat=1,
+    ),
+    val=dict(
+        type="COCOEvalDataset",
+        ann_file={str(coco_tree / 'ann.json')!r},
+        img_prefix={str(coco_tree / 'imgs')!r},
+    ),
+    batch_size=1,
+    num_threads=2,
+    max_gt=4,
+    flip_ratio=0.5,
+    train_scales=[(96, 160)],
+    test_scale=(96, 160),
+)
+optimizer = dict(base_lr=1e-4, weight_decay=0.05, layer_decay=0.75,
+                 accumulate_steps=1, grad_clip=None)
+schedule = dict(total_epochs=1, decay_epochs=[8, 11], warmup_iters=5,
+                warmup_ratio=1e-3)
+runtime = dict(log_interval=1, checkpoint_interval=1, eval_interval=1,
+               seed=0, loss_weight_start_epoch=-1)
+""")
+    work = str(tmp_path / "work")
+    r = _run([sys.executable, "tools/train.py", str(cfg),
+              "--work-dir", work, "--max-steps", "1"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    r2 = _run([sys.executable, "tools/test.py", str(cfg),
+               os.path.join(work, "epoch_1"), "--limit", "2"])
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    out = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert set(out) == {"AP", "AP50", "AP75"}

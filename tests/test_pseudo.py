@@ -394,3 +394,21 @@ def test_semantic_centers_invalid_instances_masked():
         jnp.asarray([True, False]), num_prototypes=4, n_shift=2,
     )
     assert not np.asarray(out.part_valid)[1].any()
+
+
+def test_bbox_from_labels_batch_matches_single():
+    from scipy import ndimage as ndi
+
+    from attentionshift_tpu.ops.ccl import connected_components_batch
+    from attentionshift_tpu.pseudo.cam import bbox_from_labels, bbox_from_labels_batch
+
+    rng = np.random.RandomState(4)
+    K, H, W = 6, 32, 40
+    masks = np.stack([ndi.gaussian_filter(rng.rand(H, W), 3) > 0.52 for _ in range(K)])
+    masks[-1] = False  # empty map -> fallback box
+    labels = connected_components_batch(jnp.asarray(masks))
+    pts = jnp.asarray(rng.rand(K, 2) * [W * 0.8, H * 0.8] + 2, jnp.float32)
+    ref = jax.vmap(lambda l, p: bbox_from_labels(l, p))(labels, pts)
+    new = bbox_from_labels_batch(labels, pts)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new[-1]), [0.0, 0.0, 1.0, 1.0])

@@ -51,8 +51,11 @@ def parse_args():
 def main():
     args = parse_args()
     from attentionshift_tpu.config import Config
+    from attentionshift_tpu.data.build import build_eval_dataset
+    from attentionshift_tpu.data.coco import COCOEvalDataset
+    from attentionshift_tpu.data.voc import VOC_CLASSES
     from attentionshift_tpu.data.pipeline import TestPipeline
-    from attentionshift_tpu.data.voc import VOC_CLASSES, VOCInstanceEvalDataset
+    from attentionshift_tpu.eval.coco_eval import coco_segm_eval
     from attentionshift_tpu.eval.masks import finalize_detections
     from attentionshift_tpu.eval.mean_ap_segm import eval_map_segm
     from attentionshift_tpu.models.detector import AttnShiftDetector
@@ -60,7 +63,8 @@ def main():
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     model = AttnShiftDetector(**cfg.model.to_dict())
-    dataset = VOCInstanceEvalDataset(cfg.data.val.split_file, cfg.data.val.voc_root)
+    dataset = build_eval_dataset(cfg.data.val.to_dict())
+    is_coco = isinstance(dataset, COCOEvalDataset)
     pipeline = TestPipeline(scale=tuple(cfg.data.test_scale))
 
     # full param template via abstract init of the TRAIN path (the
@@ -102,6 +106,7 @@ def main():
 
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
     pred_masks, pred_labels, pred_scores, gt_masks, gt_labels = [], [], [], [], []
+    gt_crowd = []
     t0 = time.time()
     for i in range(n):
         if aug_tester is not None:
@@ -129,10 +134,24 @@ def main():
         pred_scores.append(res["scores"])
         gt_masks.append(gt["masks"])
         gt_labels.append(gt["labels"])
+        gt_crowd.append(gt.get("iscrowd", np.zeros(len(gt["labels"]), bool)))
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{n} images ({(i + 1) / (time.time() - t0):.2f} img/s)")
 
     results = {}
+    if is_coco:
+        res = coco_segm_eval(
+            pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
+            num_classes=dataset.num_classes, gt_iscrowd=gt_crowd,
+        )
+        results = {k: float(res[k]) for k in ("AP", "AP50", "AP75")}
+        print(f"COCO segm: AP {res['AP']*100:.1f}  AP50 {res['AP50']*100:.1f}"
+              f"  AP75 {res['AP75']*100:.1f}")
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        print(json.dumps(results))
+        return
     for thr in (0.25, 0.5, 0.75):
         mAP, aps, _ = eval_map_segm(
             pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,

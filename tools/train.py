@@ -60,9 +60,9 @@ def build_model(cfg):
 def main():
     args = parse_args()
     from attentionshift_tpu.config import Config
+    from attentionshift_tpu.data.build import build_train_dataset
     from attentionshift_tpu.data.loader import TrainLoader
     from attentionshift_tpu.data.pipeline import TrainPipeline
-    from attentionshift_tpu.data.voc import VOCPointDataset
     from attentionshift_tpu.models.convert import load_torch_state_dict, mae_to_vit_params
     from attentionshift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from attentionshift_tpu.train import (
@@ -87,10 +87,7 @@ def main():
         json.dump(cfg.to_dict(), f, indent=2, default=str)
 
     seed = int(cfg.runtime.seed)
-    dataset = VOCPointDataset(
-        cfg.data.train.ann_file, cfg.data.train.img_prefix,
-        repeat=int(cfg.data.train.get("repeat", 1)),
-    )
+    dataset = build_train_dataset(cfg.data.train.to_dict())
     pipeline = TrainPipeline(
         scales=[tuple(s) for s in cfg.data.train_scales],
         max_gt=int(cfg.data.max_gt),
