@@ -14,3 +14,7 @@ from .coco_eval import coco_segm_eval
 from .mean_ap_segm import eval_map
 
 __all__ += ["AugTester", "coco_segm_eval", "eval_map"]
+
+from .runner import evaluate
+
+__all__ += ["evaluate"]

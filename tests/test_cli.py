@@ -137,7 +137,7 @@ def test_base_config_inheritance():
 def test_train_cli_and_resume(smoke_config, tmp_path):
     work = str(tmp_path / "work")
     r = _run([sys.executable, "tools/train.py", smoke_config,
-              "--work-dir", work, "--max-steps", "2"])
+              "--work-dir", work, "--max-steps", "2", "--validate-limit", "1"])
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "training done" in r.stdout
     assert os.path.isdir(os.path.join(work, "epoch_1"))

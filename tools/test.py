@@ -52,19 +52,13 @@ def main():
     args = parse_args()
     from attentionshift_tpu.config import Config
     from attentionshift_tpu.data.build import build_eval_dataset
-    from attentionshift_tpu.data.coco import COCOEvalDataset
-    from attentionshift_tpu.data.voc import VOC_CLASSES
     from attentionshift_tpu.data.pipeline import TestPipeline
-    from attentionshift_tpu.eval.coco_eval import coco_segm_eval
-    from attentionshift_tpu.eval.masks import finalize_detections
-    from attentionshift_tpu.eval.mean_ap_segm import eval_map_segm
     from attentionshift_tpu.models.detector import AttnShiftDetector
     from attentionshift_tpu.train import TrainState, restore_checkpoint, build_optimizer
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     model = AttnShiftDetector(**cfg.model.to_dict())
     dataset = build_eval_dataset(cfg.data.val.to_dict())
-    is_coco = isinstance(dataset, COCOEvalDataset)
     pipeline = TestPipeline(scale=tuple(cfg.data.test_scale))
 
     # full param template via abstract init of the TRAIN path (the
@@ -91,10 +85,6 @@ def main():
         params = state.params
         print(f"loaded {args.checkpoint}")
 
-    @jax.jit
-    def run(params, img, img_wh):
-        return model.apply(params, img, img_wh, method=AttnShiftDetector.simple_test)
-
     aug_tester = None
     if args.aug_test:
         from attentionshift_tpu.eval.aug_test import AugTester
@@ -104,64 +94,13 @@ def main():
                   (800, 1000), (600, 1000), (400, 1000)]
         aug_tester = AugTester(model, params, scales=scales, flip=True)
 
-    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
-    pred_masks, pred_labels, pred_scores, gt_masks, gt_labels = [], [], [], [], []
-    gt_crowd = []
-    t0 = time.time()
-    for i in range(n):
-        if aug_tester is not None:
-            raw = dataset[i]["img"]
-            a = aug_tester(raw)
-            res = finalize_detections(
-                a["boxes"], a["scores"], a["labels"], a["valid"],
-                a["mask_probs"], scale_wh=np.asarray([1.0, 1.0]),
-                orig_wh=np.asarray([raw.shape[1], raw.shape[0]]),
-            )
-        else:
-            sample = pipeline(dataset[i])
-            img = jnp.asarray(sample["img"])[None]
-            wh = jnp.asarray(sample["img_wh"])[None]
-            out = run(params, img, wh)
-            res = finalize_detections(
-                np.asarray(out.dets.boxes[0]), np.asarray(out.dets.scores[0]),
-                np.asarray(out.dets.labels[0]), np.asarray(out.dets.valid[0]),
-                np.asarray(out.mask_probs[0]),
-                sample["scale_wh"], sample["orig_wh"],
-            )
-        gt = dataset.gt_instances(i)
-        pred_masks.append(res["masks"])
-        pred_labels.append(res["labels"])
-        pred_scores.append(res["scores"])
-        gt_masks.append(gt["masks"])
-        gt_labels.append(gt["labels"])
-        gt_crowd.append(gt.get("iscrowd", np.zeros(len(gt["labels"]), bool)))
-        if (i + 1) % 50 == 0:
-            print(f"{i + 1}/{n} images ({(i + 1) / (time.time() - t0):.2f} img/s)")
+    from attentionshift_tpu.eval.runner import evaluate
 
-    results = {}
-    if is_coco:
-        res = coco_segm_eval(
-            pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
-            num_classes=dataset.num_classes, gt_iscrowd=gt_crowd,
-        )
-        results = {k: float(res[k]) for k in ("AP", "AP50", "AP75")}
-        print(f"COCO segm: AP {res['AP']*100:.1f}  AP50 {res['AP50']*100:.1f}"
-              f"  AP75 {res['AP75']*100:.1f}")
-        if args.out:
-            with open(args.out, "w") as f:
-                json.dump(results, f, indent=2)
-        print(json.dumps(results))
-        return
-    for thr in (0.25, 0.5, 0.75):
-        mAP, aps, _ = eval_map_segm(
-            pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
-            num_classes=len(VOC_CLASSES), iou_thresh=thr,
-        )
-        results[f"mAP@{thr}"] = mAP
-        print(f"--- IoU {thr} ---  mAP: {mAP * 100:.1f}")
-        for c, ap in enumerate(aps):
-            if np.isfinite(ap):
-                print(f"  {VOC_CLASSES[c]:>12s}: {ap * 100:.1f}")
+    results = evaluate(
+        model, params, dataset, test_scale=tuple(cfg.data.test_scale),
+        limit=args.limit, aug_tester=aug_tester,
+        num_classes=int(cfg.model.num_classes),
+    )
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)

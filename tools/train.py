@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--resume-from", default=None)
     p.add_argument("--no-auto-resume", action="store_true")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--validate-limit", type=int, default=None,
+                   help="eval only the first N val images each epoch")
     p.add_argument("--max-steps", type=int, default=None,
                    help="debug: stop after N optimizer steps")
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -200,6 +202,26 @@ def main():
             if jax.process_index() == 0 and (epoch + 1) % int(cfg.runtime.checkpoint_interval) == 0:
                 path = save_checkpoint(args.work_dir, state)
                 print(f"saved {path} ({time.time() - t_ep:.1f}s/epoch)")
+            # EvalHook analog: run the val metric every eval_interval epochs
+            if (
+                not args.no_validate
+                and jax.process_index() == 0
+                and cfg.data.get("val")
+                and (epoch + 1) % int(cfg.runtime.get("eval_interval", 1)) == 0
+            ):
+                from attentionshift_tpu.data.build import build_eval_dataset
+                from attentionshift_tpu.eval.runner import evaluate
+
+                val_ds = build_eval_dataset(cfg.data.val.to_dict())
+                metrics_val = evaluate(
+                    model, state.params, val_ds,
+                    test_scale=tuple(cfg.data.test_scale),
+                    limit=args.validate_limit,
+                    num_classes=int(cfg.model.num_classes), verbose=False,
+                )
+                print(f"epoch {epoch} val: "
+                      f"{ {k: round(v, 4) for k, v in metrics_val.items()} }",
+                      flush=True)
             if args.max_steps and done_steps >= args.max_steps:
                 break
 
