@@ -6,7 +6,12 @@ including pseudo-label generation (total loss 144.8 -> 9.7).
 
     python tools/debug_overfit.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -17,7 +22,7 @@ from attentionshift_tpu.train import TrainState, build_optimizer, make_train_ste
 model = AttnShiftDetector(
     num_classes=20, embed_dim=384, depth=12, num_heads=6, img_size=224,
     point_tokens=100, cam_layer=7, max_gt=8, use_remat=True,
-    use_pallas_attention=True, num_proposals=512, rpn_nms_pre=1000,
+    use_pallas_attention=True, use_pallas_ccl=True, num_proposals=512, rpn_nms_pre=1000,
     rcnn_samples=256, mask_sample_cap=64, dtype=jnp.bfloat16)
 
 B, H, W, G = 1, 512, 512, 8
