@@ -67,7 +67,8 @@ def main():
                     jnp.float32), (b, 1, 1))
     lbls = jnp.tile(jnp.asarray(np.random.RandomState(2).randint(0, 20, (1, g)),
                                 jnp.int32), (b, 1))
-    valid = jnp.tile(jnp.asarray([[True] * 8 + [False] * (g - 8)]), (b, 1))
+    n_valid = min(8, g)
+    valid = jnp.tile(jnp.asarray([[True] * n_valid + [False] * (g - n_valid)]), (b, 1))
     img_wh = jnp.tile(jnp.asarray([[float(w), float(h)]]), (b, 1))
 
     params = model.init(
