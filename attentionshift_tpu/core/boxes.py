@@ -17,7 +17,26 @@ __all__ = [
     "delta2bbox",
     "bbox2delta",
     "clip_boxes",
+    "point_coords_wrt_box",
 ]
+
+
+def point_coords_wrt_box(boxes: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Image-absolute points -> box-normalised [0,1]^2 coordinates.
+
+    Exact rebuild of ``get_point_coords_wrt_box``
+    (`stdroi_point_deform_attn_reppoints.py:1157-1181`): no epsilon on the
+    box extent (degenerate boxes produce inf/nan exactly as the reference
+    does — callers mask those points as ignore).
+
+    Args:
+        boxes: (R, 4) xyxy; points: (R, P, 2) absolute xy.
+
+    Returns:
+        (R, P, 2) box-normalised xy.
+    """
+    wh = boxes[:, None, 2:4] - boxes[:, None, 0:2]
+    return (points - boxes[:, None, 0:2]) / wh
 
 
 def xyxy_to_cxcywh(b: jnp.ndarray) -> jnp.ndarray:

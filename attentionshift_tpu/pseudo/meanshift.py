@@ -69,8 +69,15 @@ def cosine_shift_batch(
     def step(carry, _):
         prot, tau_arr = carry
         sim = _cos(prot[:, :, None, :], feats[:, None, :, :])  # (G, K, N)
-        weight = jax.nn.softmax(sim / (temp * tau_arr), axis=-1)
-        feat_idx = jnp.argmax(weight, axis=1, keepdims=True)  # (G, 1, N)
+        scaled = sim / (temp * tau_arr)
+        weight = jax.nn.softmax(scaled, axis=-1)
+        # hard assignment in LOG space: the reference argmaxes the softmax
+        # weights directly, which survives in torch because far features
+        # land on f32 subnormals — XLA flushes those to zero and the
+        # argmax would degrade to index 0. log w = scaled - logsumexp is
+        # the same ordering computed exactly.
+        logw = scaled - jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+        feat_idx = jnp.argmax(logw, axis=1, keepdims=True)  # (G, 1, N)
         mask_w = (jnp.arange(k)[None, :, None] == feat_idx).astype(sim.dtype)
         prot = jnp.einsum(
             "gkn,gnd->gkd", weight * mask_w, feats, preferred_element_type=jnp.float32

@@ -214,16 +214,23 @@ def cosine_similarity_refined_map(
     num_points: int = 20,
     refine_times: int = 2,
     obj_tau: float = 0.85,
+    points_override: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> RefinedMaps:
     """Full Stage-B map construction (`get_cosine_similarity_refined_map`).
 
     ``cams`` are full-res (G, H, W) best-layer attention maps.
+    ``points_override``: optional (points_fg (G+1, K, 2), points_bg
+    (G, K, 2)) replacing the random seed sampling — used by parity tests
+    to drive both implementations from identical seeds.
     """
     g, h, w = cams.shape
     attn_norm = norm_attns(cams)
-    points_fg, points_bg = sample_fgbg_points(
-        rng, attn_norm, gt_points, thr_pos, thr_neg, num_points
-    )
+    if points_override is not None:
+        points_fg, points_bg = points_override
+    else:
+        points_fg, points_bg = sample_fgbg_points(
+            rng, attn_norm, gt_points, thr_pos, thr_neg, num_points
+        )
     valid_fg = jnp.concatenate([valid, jnp.ones((1,), valid.dtype)])
     cos_fg, fg_proto = refined_similarity(
         points_fg, vit_feat, boxes, g, refine_times, obj_tau, is_select=True,
