@@ -40,6 +40,7 @@ from ..ops.roi_align import roi_align
 from ..ops.sampling import point_sample
 from ..pseudo.engine import candidate_boxes, masks_and_centers
 from ..pseudo.rollout import attention_rollout_point_rows
+from .condinst import SimpleCondInstHead
 from .fpn import FPN
 from .heads import BoxHeadRec, MILHead, MaskHeadPointSup, mask_point_loss
 from .rpn import RPNHead, rpn_loss, rpn_proposals
@@ -98,6 +99,11 @@ class AttnShiftDetector(nn.Module):
     rcnn_samples: int = 512
     rcnn_pos_fraction: float = 0.25
     mask_sample_cap: int = 128
+    # keypoint-align variant (`FasterRCNNPointSupAlignKeyPoint`,
+    # `faster_rcnn_pointSup_keypoint_align.py:8-165`): instance tokens
+    # generate dynamic classifiers over semantic-part features
+    with_keypoint_align: bool = False
+    keypoint_feat_channels: int = 8
     # test
     test_score_thr: float = 0.05
     test_iou_thr: float = 0.5
@@ -137,6 +143,11 @@ class AttnShiftDetector(nn.Module):
             num_classes=self.num_classes, in_channels=self.embed_dim,
             dtype=self.dtype, name="mask_head",
         )
+        if self.with_keypoint_align:
+            self.keypoint_align_head = SimpleCondInstHead(
+                feat_channels=self.keypoint_feat_channels,
+                name="keypoint_align_head",
+            )
 
     # ------------------------------------------------------------- shared
     def _extract(self, img, deterministic: bool = True):
@@ -232,6 +243,28 @@ class AttnShiftDetector(nn.Module):
                 pl.point_coords, pl.point_labels, loss_enable,
             )
         )
+
+        # ---- keypoint-align variant: instance tokens classify their parts
+        if self.with_keypoint_align:
+            g = gt_points.shape[1]
+            npart = pl.centers.feats.shape[2]
+            # token slot matched to each gt (argmax over the one-hot match)
+            token_of_gt = jnp.argmax(
+                assigned[:, None, :] == (jnp.arange(g)[None, :, None] + 1),
+                axis=-1,
+            ).astype(jnp.int32)  # (B, G)
+            tokens = jnp.take_along_axis(
+                out["point_tokens"], token_of_gt[..., None], axis=1
+            )  # (B, G, D)
+            parts = pl.centers.feats.reshape(b, g * npart, -1)
+            owner = jnp.tile(jnp.repeat(jnp.arange(g), npart)[None], (b, 1))
+            pvalid = pl.centers.part_valid.reshape(b, g * npart)
+            pvalid = pvalid & jnp.take_along_axis(gt_valid, owner, axis=1)
+            losses.update(
+                self.keypoint_align_head(
+                    tokens, jax.lax.stop_gradient(parts), owner, pvalid, gt_valid
+                )
+            )
         aux = dict(
             pseudo_boxes=pseudo_boxes,
             pseudo_valid=gt_valid,
@@ -243,7 +276,8 @@ class AttnShiftDetector(nn.Module):
         )
         return losses, aux
 
-    def _seed(self, rng, out, roi_map, patch_hw, img_hw, gt_points, gt_labels, gt_valid, img_wh):
+    def _seed(self, rng, out, roi_map, patch_hw, img_hw, gt_points, gt_labels, gt_valid, img_wh,
+              debug: bool = False):
         """Stages A-C (`seed_pseudo_gt`, `stdroi:2209-2415`)."""
         hp, wp = patch_hw
         h, w = img_hw
@@ -316,6 +350,15 @@ class AttnShiftDetector(nn.Module):
             jax.random.split(rng, b), best_cams, vit_feat,
             pseudo_boxes, gt_points, gt_labels, gt_valid,
         )
+        if debug:
+            dbg = dict(
+                rollout_rows=rollout,
+                candidate_boxes=cand,
+                cams=cams_patch,
+                best_cams=best_cams_patch,
+                token_of_gt=token_of_gt,
+            )
+            return assigned, pseudo_boxes, best_idx, mil_loss, pl, dbg
         return assigned, pseudo_boxes, best_idx, mil_loss, pl
 
     def seed_pseudo_gt(self, img, gt_points, gt_labels, gt_valid, img_wh):
@@ -344,6 +387,41 @@ class AttnShiftDetector(nn.Module):
             semantic_centers_valid=pl.centers.part_valid,
             best_attn_idx=best_idx,
             loss_mil=mil_loss,
+        )
+
+    def seed_debug(self, img, gt_points, gt_labels, gt_valid, img_wh):
+        """Pseudo-label generation with every intermediate exposed.
+
+        The visualisation-variant capability
+        (``TwoStageDetectorPointSupVis``, `detectors/two_stage_vis.py`,
+        ``store_visual_matterials`` in
+        `faster_rcnn_pointSup_keypoint_align.py:163-165`): instead of
+        stashing tensors on the module, the pure function returns the
+        full intermediate dict (rollout rows, per-layer CAMs + candidate
+        boxes, MIL choice, refined maps, supervision points, semantic
+        centers) for host-side dumping via ``utils.visualize``.
+        """
+        b, h, w, _ = img.shape
+        out, roi_map, (hp, wp) = self._extract(img, deterministic=True)
+        rng = self.make_rng("sampling")
+        assigned, pseudo_boxes, best_idx, mil_loss, pl, dbg = self._seed(
+            rng, out, roi_map, (hp, wp), (h, w),
+            gt_points, gt_labels, gt_valid, img_wh, debug=True,
+        )
+        return dict(
+            pseudo_gt_bboxes=pseudo_boxes,
+            pseudo_gt_masks=pl.pseudo_masks,
+            mask_points_coords=pl.point_coords,
+            mask_points_labels=pl.point_labels,
+            map_cos_fg=pl.map_fg,
+            semantic_centers=pl.centers.coords,
+            semantic_centers_valid=pl.centers.part_valid,
+            best_attn_idx=best_idx,
+            loss_mil=mil_loss,
+            assigned=assigned,
+            outputs_coord=out["outputs_coord"],
+            outputs_class=out["outputs_class"],
+            **dbg,
         )
 
     def _point_losses(self, point_cls, point_reg, assigned, gt_points, gt_labels, img_wh):

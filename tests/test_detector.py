@@ -147,3 +147,56 @@ def test_aug_test(model_and_params):
     # boxes live in the ORIGINAL frame
     assert (out["boxes"][:, 0::2] <= 140 + 1e-3).all()
     assert (out["boxes"][:, 1::2] <= 100 + 1e-3).all()
+
+
+def test_keypoint_align_variant():
+    """FasterRCNNPointSupAlignKeyPoint analog: extra dynamic-filter loss."""
+    model = AttnShiftDetector(**{**TINY, "with_keypoint_align": True})
+    rng = jax.random.PRNGKey(0)
+    img, gt_points, gt_labels, gt_valid, img_wh = _inputs(7)
+    params = model.init(
+        {"params": rng, "sampling": rng, "dropout": rng},
+        img, gt_points, gt_labels, gt_valid, img_wh,
+    )
+    losses, _ = model.apply(
+        params, img, gt_points, gt_labels, gt_valid, img_wh,
+        rngs={"sampling": rng, "dropout": rng},
+    )
+    assert "loss_keypoint_align" in losses
+    assert np.isfinite(float(losses["loss_keypoint_align"]))
+
+    # the head contributes gradients to the controller + backbone tokens
+    def total(p):
+        ls, _ = model.apply(
+            p, img, gt_points, gt_labels, gt_valid, img_wh,
+            rngs={"sampling": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        )
+        return ls["loss_keypoint_align"]
+
+    from jax.flatten_util import ravel_pytree
+
+    g = jax.grad(total)(params)
+    gsum = float(
+        jnp.abs(ravel_pytree(g["params"]["keypoint_align_head"])[0]).sum()
+    )
+    assert gsum > 0
+
+
+def test_seed_debug_exposes_intermediates(model_and_params):
+    """TwoStageDetectorPointSupVis analog: full intermediate dump."""
+    model, params = model_and_params
+    img, gt_points, gt_labels, gt_valid, img_wh = _inputs(8)
+    out = model.apply(
+        params, img, gt_points, gt_labels, gt_valid, img_wh,
+        method=AttnShiftDetector.seed_debug, rngs={"sampling": jax.random.PRNGKey(0)},
+    )
+    L, P, g = TINY["cam_layer"], TINY["point_tokens"], 4
+    hp = wp = H // 16
+    assert out["rollout_rows"].shape == (B, L, P, 1 + hp * wp + P)
+    assert out["candidate_boxes"].shape == (B, g, L, 4)
+    assert out["cams"].shape == (B, L, g, hp, wp)
+    assert out["best_cams"].shape == (B, g, hp, wp)
+    assert out["token_of_gt"].shape == (B, g)
+    assert out["pseudo_gt_bboxes"].shape == (B, g, 4)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v, np.float32)).all(), k
