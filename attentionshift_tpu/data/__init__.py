@@ -20,3 +20,7 @@ __all__ += ["COCOEvalDataset", "COCOPointDataset"]
 from .build import build_eval_dataset, build_train_dataset
 
 __all__ += ["build_eval_dataset", "build_train_dataset"]
+
+from .sbd import SBDInstanceDataset, image_wise_to_instance_wise
+
+__all__ += ["SBDInstanceDataset", "image_wise_to_instance_wise"]

@@ -56,10 +56,21 @@ class TrainPipeline:
         max_gt: int = 20,
         flip_ratio: float = 0.5,
         size_divisor: int = 32,
+        crop_size: tuple[int, int] | None = None,
+        brightness_delta: float = 0.0,
     ):
         self.scales = scales
         self.max_gt = max_gt
         self.flip_ratio = flip_ratio
+        # RandomCropC (absolute (h, w) crop; points shifted + filtered,
+        # `mmdet_plugins/datasets/pipelines/transforms.py:54-108`). A crop
+        # that would drop every point is skipped (the reference returns
+        # None and the runner redraws the sample).
+        self.crop_size = crop_size
+        # JitterBrightness (named in the COCO "tune_brightness" config but
+        # never shipped upstream — SURVEY.md wart #2): multiplicative
+        # brightness factor in [1-delta, 1+delta]
+        self.brightness_delta = brightness_delta
         # static bucket: largest scale (800, 1333) padded to /32
         short = max(s[0] for s in scales)
         long = max(s[1] for s in scales)
@@ -84,6 +95,28 @@ class TrainPipeline:
             img = img[:, ::-1]
             points = points.copy()
             points[:, 0] = img.shape[1] - points[:, 0]
+
+        # RandomCropC (optional)
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            oy = rng.randint(0, max(img.shape[0] - ch, 0) + 1)
+            ox = rng.randint(0, max(img.shape[1] - cw, 0) + 1)
+            shifted = points - np.asarray([ox, oy], np.float32)
+            hh = min(ch, img.shape[0] - oy)
+            ww = min(cw, img.shape[1] - ox)
+            keep = (
+                (shifted[:, 0] > 0) & (shifted[:, 1] > 0)
+                & (shifted[:, 0] < ww) & (shifted[:, 1] < hh)
+            )
+            if keep.any():
+                img = img[oy:oy + ch, ox:ox + cw]
+                points = shifted[keep]
+                labels = labels[keep]
+
+        # JitterBrightness (optional)
+        if self.brightness_delta > 0:
+            factor = 1.0 + rng.uniform(-self.brightness_delta, self.brightness_delta)
+            img = np.clip(img.astype(np.float32) * factor, 0, 255).astype(img.dtype)
 
         # ResizeC, multiscale_mode='value'
         scale = self.scales[rng.randint(len(self.scales))]

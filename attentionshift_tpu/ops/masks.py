@@ -35,40 +35,45 @@ def box2mask(bboxes: jnp.ndarray, img_size: tuple[int, int], default_val: float 
     return jnp.where(inside, 1.0, jnp.float32(default_val))
 
 
+def _separable_pool(cam: jnp.ndarray, k: int, init, op) -> jnp.ndarray:
+    """Rectangular sliding-window reduction as two 1-D passes.
+
+    min/max over a k x k window == min/max over rows then columns: k^2
+    window reads become 2k — at the engine's 21x21 erosion on full-res
+    maps this is ~10x less VPU work than the 2-D ``reduce_window``.
+    """
+    pad = k // 2
+    lead = cam.shape[:-2]
+    x = cam.reshape((-1,) + cam.shape[-2:])
+    x = jax.lax.reduce_window(
+        x, init, op,
+        window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
+        padding=((0, 0), (pad, pad), (0, 0)),
+    )
+    x = jax.lax.reduce_window(
+        x, init, op,
+        window_dimensions=(1, 1, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (pad, pad)),
+    )
+    return x.reshape(lead + cam.shape[-2:])
+
+
 def corrosion(cam: jnp.ndarray, corr_size: int = 11) -> jnp.ndarray:
     """Min-pool erosion with SAME padding over the last two axes.
 
     Equivalent to ``-F.max_pool2d(-cam, k, 1, k//2)``: out-of-bounds
     window positions are ignored (+inf padding under min).
     """
-    pad = corr_size // 2
-    lead = cam.shape[:-2]
-    x = cam.reshape((-1,) + cam.shape[-2:])
-    out = jax.lax.reduce_window(
-        x,
-        jnp.asarray(jnp.inf, x.dtype),
-        jax.lax.min,
-        window_dimensions=(1, corr_size, corr_size),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (pad, pad), (pad, pad)),
+    return _separable_pool(
+        cam, corr_size, jnp.asarray(jnp.inf, cam.dtype), jax.lax.min
     )
-    return out.reshape(lead + cam.shape[-2:])
 
 
 def expansion(cam: jnp.ndarray, expn_size: int = 5) -> jnp.ndarray:
     """Max-pool dilation with SAME padding over the last two axes."""
-    pad = expn_size // 2
-    lead = cam.shape[:-2]
-    x = cam.reshape((-1,) + cam.shape[-2:])
-    out = jax.lax.reduce_window(
-        x,
-        jnp.asarray(-jnp.inf, x.dtype),
-        jax.lax.max,
-        window_dimensions=(1, expn_size, expn_size),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (pad, pad), (pad, pad)),
+    return _separable_pool(
+        cam, expn_size, jnp.asarray(-jnp.inf, cam.dtype), jax.lax.max
     )
-    return out.reshape(lead + cam.shape[-2:])
 
 
 def paste_masks(

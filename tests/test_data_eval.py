@@ -291,3 +291,79 @@ def test_coco_point_dataset(tmp_path):
     assert gt["masks"].shape == (2, 20, 30)
     assert gt["masks"][0, 5, 5] and not gt["masks"][0, 5, 20]
     assert gt["masks"][1, 10, 20]
+
+
+def test_sbd_dataset_roundtrip(tmp_path):
+    """SBDInstanceDataset: .mat cls/inst -> masks/labels/points."""
+    import scipy.io
+    from PIL import Image as PILImage
+
+    from attentionshift_tpu.data.sbd import (
+        SBDInstanceDataset, image_wise_to_instance_wise,
+    )
+
+    root = tmp_path / "sbd"
+    for sub in ("img", "cls", "inst"):
+        (root / sub).mkdir(parents=True)
+    h, w = 40, 60
+    cls_img = np.zeros((h, w), np.uint8)
+    inst_img = np.zeros((h, w), np.uint8)
+    cls_img[5:15, 5:20] = 3       # instance 1, class 3 (0-based 2)
+    inst_img[5:15, 5:20] = 1
+    cls_img[20:35, 30:55] = 12    # instance 2, class 12 (0-based 11)
+    inst_img[20:35, 30:55] = 2
+    scipy.io.savemat(root / "cls" / "a.mat", {"GTcls": {"Segmentation": cls_img}})
+    scipy.io.savemat(root / "inst" / "a.mat", {"GTinst": {"Segmentation": inst_img}})
+    PILImage.fromarray(np.zeros((h, w, 3), np.uint8)).save(root / "img" / "a.jpg")
+    split = tmp_path / "train.txt"
+    split.write_text("a\n")
+
+    ds = SBDInstanceDataset(str(split), str(root))
+    assert len(ds) == 1
+    gt = ds.gt_instances(0)
+    assert gt["masks"].shape == (2, h, w)
+    assert list(gt["labels"]) == [2, 11]
+    s = ds[0]
+    assert s["img"].shape == (h, w, 3)
+    np.testing.assert_allclose(s["points"][0], [12.5, 10.0])  # box centre
+    np.testing.assert_allclose(s["points"][1], [42.5, 27.5])
+
+    # direct converter check: ignore ids <= 0
+    m, l = image_wise_to_instance_wise(
+        cls_img.astype(np.int32), np.where(inst_img == 0, -1, inst_img).astype(np.int32)
+    )
+    assert m.shape[0] == 2 and list(l) == [2, 11]
+
+
+def test_pipeline_crop_and_brightness():
+    from attentionshift_tpu.data.pipeline import TrainPipeline
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    sample = dict(
+        img=img,
+        points=np.asarray([[150.0, 100.0], [290.0, 10.0]], np.float32),
+        labels=np.asarray([1, 2], np.int64),
+    )
+    pipe = TrainPipeline(
+        scales=((128, 256),), max_gt=4, flip_ratio=0.0,
+        crop_size=(160, 240), brightness_delta=0.3,
+    )
+    out = pipe(sample, np.random.RandomState(3))
+    # at least the central point survives any (160, 240) crop of (200, 300)
+    assert out["gt_valid"].sum() >= 1
+    g = int(out["gt_valid"].sum())
+    w, h = out["img_wh"]
+    pts = out["gt_points"][:g]
+    assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= w).all()
+    assert (pts[:, 1] >= 0).all() and (pts[:, 1] <= h).all()
+    assert out["img"].shape[2] == 3
+
+    # brightness-only: pixel stats shift, labels/points unchanged
+    pipe2 = TrainPipeline(
+        scales=((200, 300),), max_gt=4, flip_ratio=0.0, brightness_delta=0.5,
+    )
+    o1 = pipe2(sample, np.random.RandomState(1))
+    o2 = pipe2(sample, np.random.RandomState(2))
+    assert not np.allclose(o1["img"], o2["img"])
+    np.testing.assert_allclose(o1["gt_points"], o2["gt_points"])
