@@ -52,18 +52,19 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
     k = k_ref[0, 0]  # (Tpad, d)
     v = v_ref[0, 0]
     d = q.shape[-1]
+    # keep operands in their storage dtype (bf16 on the bench path) so the
+    # MXU runs at native rate; accumulate in f32 and scale the f32 logits
     logits = jax.lax.dot_general(
-        q.astype(jnp.float32) * (d**-0.5), k.astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (TQ, Tpad)
+    ) * (d**-0.5)  # (TQ, Tpad)
     # mask padded keys
     tpad = logits.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < t_real, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jax.lax.dot_general(
-        probs, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out_ref[0, 0] = out.astype(out_ref.dtype)
@@ -117,14 +118,13 @@ def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, t_real):
     v = v_ref[0, 0]
     d = q.shape[-1]
     logits = jax.lax.dot_general(
-        q.astype(jnp.float32) * (d**-0.5), k.astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * (d**-0.5)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < t_real, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jax.lax.dot_general(
-        probs, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out_ref[0, 0] = out.astype(out_ref.dtype)
@@ -194,25 +194,27 @@ def _fwd(q, k, v, use_pallas):
 
 def _bwd(use_pallas, res, grads):
     q, k, v = res
-    g_out = grads[0].astype(jnp.float32)  # mean_probs grad is zero
+    # matmul operands stay in the storage dtype (bf16 on TPU) with f32
+    # accumulation; softmax math is f32
+    mm = q.dtype
+    g_out = grads[0].astype(mm)  # mean_probs grad is zero
     d = q.shape[-1]
     logits = jnp.einsum(
-        "bhtd,bhsd->bhts", q * (d**-0.5), k, preferred_element_type=jnp.float32
-    )
+        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
     p = jax.nn.softmax(logits, axis=-1)
-    gv = jnp.einsum("bhts,bhtd->bhsd", p, g_out, preferred_element_type=jnp.float32)
+    pm = p.astype(mm)
+    gv = jnp.einsum("bhts,bhtd->bhsd", pm, g_out, preferred_element_type=jnp.float32)
     gp = jnp.einsum(
-        "bhtd,bhsd->bhts", g_out, v.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bhtd,bhsd->bhts", g_out, v, preferred_element_type=jnp.float32
     )
     gl = p * (gp - (gp * p).sum(-1, keepdims=True))
+    glm = gl.astype(mm)
     gq = jnp.einsum(
-        "bhts,bhsd->bhtd", gl, k.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bhts,bhsd->bhtd", glm, k, preferred_element_type=jnp.float32
     ) * (d**-0.5)
     gk = jnp.einsum(
-        "bhts,bhtd->bhsd", gl, q.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bhts,bhtd->bhsd", glm, q, preferred_element_type=jnp.float32
     ) * (d**-0.5)
     return gq.astype(q.dtype), gk.astype(k.dtype), gv.astype(v.dtype)
 

@@ -81,3 +81,56 @@ def mean_field_refine(
     q0 = jax.nn.softmax(unary, axis=0)
     q, _ = jax.lax.scan(step, q0, None, length=num_iter)
     return q[:g].reshape(g, h, w)
+
+
+def water_fill(
+    feats: jnp.ndarray,
+    sim_inter: jnp.ndarray,
+    attns_in: jnp.ndarray,
+    n_iter: int = 1,
+    thr: float | None = None,
+):
+    """Greedy coverage-based prototype extraction ("water fill").
+
+    Rebuild of ``water_fill`` / ``water_fill_adaptive``
+    (`mmdet_plugins/utils/crf.py:147-188`): per iteration, pick the
+    feature whose (thresholded) similarity row covers the most remaining
+    attention mass, emit it as a prototype, and drain the attention it
+    covers. Fixed ``n_iter`` prototype slots with a validity mask replace
+    the reference's data-dependent early break.
+
+    Args:
+        feats: (N, D) patch features.
+        sim_inter: (N, N) pairwise similarity.
+        attns_in: (N,) nonnegative attention mass to cover.
+        thr: absolute threshold on similarities (``water_fill_adaptive``);
+            None = relative ``0.8 * row max`` (``water_fill``).
+
+    Returns:
+        prototypes (n_iter, D), valid (n_iter,) bool (slot 0 always
+        valid, matching the reference's ``S > 0 or i == 0``).
+    """
+    if thr is None:
+        row_max = sim_inter.max(axis=1, keepdims=True)
+        sim = jnp.where(sim_inter < row_max * 0.8, 0.0, sim_inter)
+    else:
+        sim = jnp.where(sim_inter <= thr, 0.0, sim_inter)
+
+    def step(attn, i):
+        s_in = sim @ attn  # (N,) coverage of remaining mass
+        score = s_in.max()
+        idx = jnp.argmax(s_in)
+        ok = (score > 0) | (i == 0)
+        covered = (sim[idx] > 0).astype(attn.dtype)
+        attn = jnp.clip(attn - covered * (attn > 0), 0.0, 1.0)
+        return attn, (feats[idx], ok)
+
+    _, (prots, valid) = jax.lax.scan(
+        step, attns_in.astype(jnp.float32), jnp.arange(n_iter)
+    )
+    # once a slot is invalid, all later slots are too (the `break`)
+    valid = jnp.cumprod(valid.astype(jnp.int32)) > 0
+    return prots, valid
+
+
+__all__ += ["water_fill"]

@@ -83,16 +83,21 @@ def main():
             method=type(model).seed_pseudo_gt, rngs={"sampling": key},
         )
 
+    def sync(o):
+        # scalar fetch: forces the device queue to drain even on backends
+        # whose block_until_ready is a no-op (the tunneled axon plugin)
+        return float(jnp.sum(o["pseudo_gt_bboxes"]))
+
     # warmup / compile
     out = None
     for i in range(args.warmup):
         out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
+        sync(out)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = args.steps * b / dt

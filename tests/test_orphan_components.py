@@ -264,3 +264,41 @@ def test_supervision_point_generator_end_to_end():
     assert not keep[3]  # invalid slot
     scores = np.asarray(out.scores)
     assert np.isfinite(scores).all() and (scores >= 0).all()
+
+
+def test_water_fill_matches_reference_semantics():
+    """Greedy coverage prototype extraction (crf.py:147-188 oracle)."""
+    import torch
+
+    from attentionshift_tpu.pseudo.crf import water_fill
+
+    rng = np.random.RandomState(0)
+    n, d = 24, 6
+    feats = rng.randn(n, d).astype(np.float32)
+    sim = (rng.rand(n, n) * 0.6 + 0.2).astype(np.float32)
+    np.fill_diagonal(sim, 1.0)
+    attn = (rng.rand(n) > 0.5).astype(np.float32)
+
+    # reference loop (water_fill_adaptive with thr)
+    thr = 0.55
+    sim_t = torch.from_numpy(sim.copy())
+    attn_t = torch.from_numpy(attn.copy())
+    sim_t[sim_t <= thr] = 0
+    want, k = [], 4
+    for i in range(k):
+        s_in = sim_t @ attn_t
+        s, idx = torch.max(s_in, dim=0)
+        if s > 0 or i == 0:
+            want.append(feats[idx])
+        else:
+            break
+        new_in = (sim_t[idx] > 0).float()
+        attn_t = (attn_t - new_in * (attn_t > 0)).clamp(0, 1)
+
+    prots, valid = water_fill(
+        jnp.asarray(feats), jnp.asarray(sim), jnp.asarray(attn),
+        n_iter=k, thr=thr,
+    )
+    got = np.asarray(prots)[np.asarray(valid)]
+    assert got.shape == np.stack(want).shape
+    np.testing.assert_allclose(got, np.stack(want), rtol=1e-6)

@@ -77,14 +77,18 @@ def main():
     def run(p, im, wh):
         return model.apply(p, im, wh, method=type(model).simple_test)
 
+    def sync(o):
+        # scalar fetch drains the queue even where block_until_ready no-ops
+        return float(jnp.sum(o.dets.boxes))
+
     out = None
     for _ in range(args.warmup):
         out = run(params, img, img_wh)
-        jax.block_until_ready(out)
+        sync(out)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         out = run(params, img, img_wh)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     fps = args.steps * b / dt
     print(json.dumps({

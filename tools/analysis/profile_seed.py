@@ -64,13 +64,18 @@ def main():
         method=type(model).seed_pseudo_gt,
     )
 
+    def sync(out):
+        # scalar fetch drains the queue even where block_until_ready no-ops
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     def bench(fn, *fargs, name=""):
         out = fn(*fargs)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out = fn(*fargs)
-        jax.block_until_ready(out)
+        sync(out)
         dt = (time.perf_counter() - t0) / args.steps * 1000
         print(f"{name:<28s} {dt:8.2f} ms")
         return dt
