@@ -83,6 +83,11 @@ class AttnShiftDetector(nn.Module):
     # thresholding/CCL at stride 8 loses <8px of box-boundary detail while
     # cutting the CCL + component-area cost 4x vs the reference's stride 1
     cam_stride: int = 8
+    # Stage-B/C maps are likewise bilinear upsamples of patch-res data;
+    # running them at stride 4 cuts their HBM traffic 16x (the dominant
+    # seed-path cost) for <4px of sampled-point quantisation. 1 = exact
+    # reference full-res semantics.
+    seed_map_stride: int = 4
     ccl_iters: int = 64
     pos_mask_thr: float = 0.35
     neg_mask_thr: float = 0.8
@@ -334,7 +339,8 @@ class AttnShiftDetector(nn.Module):
             cams_patch.transpose(0, 2, 1, 3, 4),  # (B, G, L, Hp, Wp)
             best_idx[..., None, None, None], axis=2,
         )[:, :, 0]  # (B, G, Hp, Wp)
-        best_cams = resize(best_cams_patch, (h, w))
+        ms = self.seed_map_stride
+        best_cams = resize(best_cams_patch, (h // ms, w // ms))
 
         def engine_one(key, cams, feat, boxes, pts, lbls, val):
             return masks_and_centers(
@@ -344,6 +350,7 @@ class AttnShiftDetector(nn.Module):
                 obj_tau=self.obj_tau, refine_times=self.refine_times,
                 mean_shift_times=self.mean_shift_times,
                 num_semantic_points=self.num_semantic_points,
+                map_stride=ms, img_hw=(h, w),
             )
 
         pl = jax.vmap(engine_one)(

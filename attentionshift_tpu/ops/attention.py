@@ -33,7 +33,13 @@ __all__ = ["attention_with_capture", "attention_no_capture"]
 
 
 def _jnp_reference(q, k, v):
-    """(B, H, T, d) f32/bf16 -> (out (B,H,T,d), mean_probs (B,T,T) f32)."""
+    """(B, H, T, d) -> (out (B,H,T,d), mean_probs (B,T,T) in q.dtype).
+
+    The capture rides the storage dtype: in bf16 models the 7 captured
+    (T, T) maps cost half the HBM writes (and the rollout's reads) of
+    f32; probabilities are in [0, 1] and the rollout promotes to f32, so
+    bf16's ~0.4% relative error is far below the engine's thresholds.
+    """
     d = q.shape[-1]
     logits = jnp.einsum(
         "bhtd,bhsd->bhts", q * (d**-0.5), k, preferred_element_type=jnp.float32
@@ -43,10 +49,10 @@ def _jnp_reference(q, k, v):
         "bhts,bhsd->bhtd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
-    return out, probs.mean(axis=1)
+    return out, probs.mean(axis=1).astype(q.dtype)
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
+def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, acc_ref, *, num_heads, t_real):
     h = pl.program_id(2)
     q = q_ref[0, 0]  # (TQ, d)
     k = k_ref[0, 0]  # (Tpad, d)
@@ -69,15 +75,21 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
     )
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
+    # head-mean accumulates in an f32 VMEM scratch; the (possibly bf16)
+    # HBM block is written once, by the last head
     contrib = probs * (1.0 / num_heads)
 
     @pl.when(h == 0)
     def _():
-        mean_ref[0] = contrib
+        acc_ref[...] = contrib
 
     @pl.when(h > 0)
     def _():
-        mean_ref[0] = mean_ref[0] + contrib
+        acc_ref[...] = acc_ref[...] + contrib
+
+    @pl.when(h == num_heads - 1)
+    def _():
+        mean_ref[0] = acc_ref[...].astype(mean_ref.dtype)
 
 
 def _pallas_forward(q, k, v, tile_q: int = 256):
@@ -96,7 +108,7 @@ def _pallas_forward(q, k, v, tile_q: int = 256):
         functools.partial(_kernel, num_heads=h, t_real=t),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, tpad, tpad), jnp.float32),
+            jax.ShapeDtypeStruct((b, tpad, tpad), q.dtype),
         ),
         grid=grid,
         in_specs=[
@@ -108,6 +120,7 @@ def _pallas_forward(q, k, v, tile_q: int = 256):
             pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, tile_q, tpad), lambda bi, qi, hi: (bi, qi, 0)),
         ),
+        scratch_shapes=[pltpu.VMEM((tile_q, tpad), jnp.float32)],
     )(qp, kp, vp)
     return out[:, :, :t], mean[:, :t, :t]
 

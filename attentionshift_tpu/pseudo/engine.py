@@ -112,37 +112,51 @@ def masks_and_centers(
     refine_times: int = 2,
     mean_shift_times: int = 10,
     num_semantic_points: int = 5,
+    map_stride: int = 1,
+    img_hw: tuple[int, int] | None = None,
 ) -> PseudoLabels:
     """Stages B+C for one image.
 
     Args:
-        best_cams: (G, H, W) full-res MIL-selected attention maps.
+        best_cams: (G, H/map_stride, W/map_stride) MIL-selected attention
+            maps (full res at ``map_stride=1``).
         vit_feat: (D, Hp, Wp) detached patch features.
-        boxes: (G, 4) MIL-selected pseudo boxes.
+        boxes: (G, 4) MIL-selected pseudo boxes (full-res coords).
+        map_stride: resolution divisor for every Stage-B/C map pass.
+            These maps are bilinear upsamples of patch-res (stride-16)
+            data, so decimated grids lose nothing structural; strides > 1
+            cut the dominant HBM traffic ``stride^2``-fold. Outputs
+            (``map_fg``, ``pseudo_masks``) are upsampled back to full res
+            in one final pass. ``map_stride=1`` is bit-exact reference
+            semantics.
+        img_hw: full-res (H, W); required when ``map_stride > 1``.
     """
     k_refine, k_points = jax.random.split(rng)
-    g, h, w = best_cams.shape
+    g = best_cams.shape[0]
 
     maps = cosine_similarity_refined_map(
         k_refine, best_cams, vit_feat, boxes, gt_points, valid,
         thr_pos=0.2, thr_neg=0.1, num_points=20,
-        refine_times=refine_times, obj_tau=obj_tau,
+        refine_times=refine_times, obj_tau=obj_tau, stride=map_stride,
     )
+    map_fg_full = maps.map_fg
+    if map_stride > 1:
+        map_fg_full = resize(maps.map_fg, img_hw)
     # binary pseudo masks (`seed_pseudo_gt:2356-2358`)
     mx = maps.map_fg.max(axis=(-2, -1), keepdims=True)
-    pseudo_masks = (maps.map_fg > mx * pos_mask_thr).astype(jnp.uint8)
+    pseudo_masks = (map_fg_full > mx * pos_mask_thr).astype(jnp.uint8)
     pseudo_masks = pseudo_masks * valid[:, None, None].astype(jnp.uint8)
 
     pts_xy, pts_lbl = sample_mask_points(
         k_points, maps.map_fg, maps.map_bg, boxes,
         num_gt=num_mask_point_gt, pos_thr=pos_mask_thr, neg_thr=neg_mask_thr,
-        corr_size=corr_size,
+        corr_size=corr_size, stride=map_stride,
     )
 
     centers = semantic_centers(
         maps.map_fg, maps.map_bg, boxes, vit_feat, gt_labels, valid,
         pos_thr=pos_mask_thr, n_shift=mean_shift_times,
-        num_semantic_points=num_semantic_points,
+        num_semantic_points=num_semantic_points, stride=map_stride,
     )
 
     # reference semantics (`update_coords_with_semantic_centers`): keep
@@ -160,7 +174,7 @@ def masks_and_centers(
     assert point_coords.shape[1] == np_total
 
     return PseudoLabels(
-        map_fg=maps.map_fg,
+        map_fg=map_fg_full,
         pseudo_masks=pseudo_masks,
         point_coords=point_coords,
         point_labels=point_labels,

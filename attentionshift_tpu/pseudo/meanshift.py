@@ -271,16 +271,20 @@ def semantic_centers(
     merge_thr: float = 0.85,
     num_semantic_points: int = 3,
     num_prototypes: int = 20,
+    stride: int = 1,
 ) -> SemanticCenters:
     """Stage C driver (`get_semantic_centers:1995-2031`).
 
-    ``map_fg``/``map_bg`` are the full-res Stage-B maps; everything else
-    runs at patch resolution.
+    ``map_fg``/``map_bg`` are the Stage-B maps at image resolution /
+    ``stride`` (the reference's full res at ``stride=1``); everything
+    else runs at patch resolution, so only the binarise+erode+downsample
+    prologue sees the stride.
     """
     d, hp, wp = vit_feat.shape
     g, h, w = map_fg.shape
+    corr = 11 if stride == 1 else max(1, (int(round(11 / stride)) // 2) * 2 + 1)
     fg_bin = jnp.where(map_fg > pos_thr, 1.0, 0.0)
-    fg_corr = corrosion(fg_bin, corr_size=11)
+    fg_corr = corrosion(fg_bin, corr_size=corr)
     fg_inter = resize(fg_corr, (hp, wp))
     bg_inter = resize(map_bg.max(axis=0, keepdims=True), (hp, wp))
     del bg_inter  # kept for signature parity; filter uses fg occupancy only

@@ -146,31 +146,37 @@ def sample_fgbg_points(
     thr_pos: float = 0.2,
     thr_neg: float = 0.1,
     num_points: int = 20,
+    stride: int = 1,
 ):
     """Seed-point sampling (`sample_point_grid:343-371` semantics).
 
     Args:
-        attn_norm: (G, H, W) min-max-normalised best-layer CAMs.
-        gt_points: (G, 2) annotated xy (fallback fill for sparse fg).
+        attn_norm: (G, H/stride, W/stride) min-max-normalised best-layer
+            CAMs; ``stride=1`` is the reference's full-res sampling.
+        gt_points: (G, 2) annotated xy in FULL-RES pixels (fallback fill
+            for sparse fg).
 
     Returns:
-        points_fg (G+1, num_points, 2) xy (last row = mean-map bg support),
-        points_bg (G, num_points, 2) xy.
+        points_fg (G+1, num_points, 2) xy in full-res pixels (last row =
+        mean-map bg support), points_bg (G, num_points, 2) xy.
     """
     g = attn_norm.shape[0]
     keys = jax.random.split(rng, 2 * g + 1)
+    off = stride // 2  # map cell -> full-res pixel (0 when stride == 1)
 
     def fg_one(key, amap, gt_xy):
         mask = amap >= thr_pos
         coords_rand, n = sample_in_mask(key, mask, num_points)
         coords_raster, _ = strided_in_mask(mask, num_points)  # raster-order fill
+        gt_rc = jnp.stack([gt_xy[1], gt_xy[0]])
         slot = jnp.arange(num_points)
         few = jnp.where(
             (slot < n)[:, None],
             coords_raster,
-            jnp.stack([gt_xy[1], gt_xy[0]])[None, :].astype(jnp.int32),
+            ((gt_rc - off) / stride)[None, :].astype(jnp.int32),
         )
         coords = jnp.where(n >= num_points, coords_rand, few)
+        coords = coords * stride + off
         return coords[..., ::-1].astype(jnp.float32)  # (row,col)->(x,y)
 
     def bg_one(key, amap):
@@ -184,6 +190,7 @@ def sample_fgbg_points(
             take = jnp.logical_and(~got, n >= num_points)
             coords = jnp.where(take, c, coords)
             got = jnp.logical_or(got, n >= num_points)
+        coords = coords * stride + off
         return coords[..., ::-1].astype(jnp.float32)
 
     points_fg = jax.vmap(fg_one)(keys[:g], attn_norm, gt_points)
@@ -215,10 +222,16 @@ def cosine_similarity_refined_map(
     refine_times: int = 2,
     obj_tau: float = 0.85,
     points_override: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    stride: int = 1,
 ) -> RefinedMaps:
     """Full Stage-B map construction (`get_cosine_similarity_refined_map`).
 
-    ``cams`` are full-res (G, H, W) best-layer attention maps.
+    ``cams`` are (G, H/stride, W/stride) best-layer attention maps;
+    ``stride=1`` (full res) reproduces the reference exactly. At
+    ``stride>1`` every (H, W)-sized pass — seed sampling, map products,
+    normalisation — runs on the decimated grid (the maps are bilinear
+    upsamples of patch-res data, so information loss is nil for
+    stride <= 16); all coordinates stay in full-res pixels.
     ``points_override``: optional (points_fg (G+1, K, 2), points_bg
     (G, K, 2)) replacing the random seed sampling — used by parity tests
     to drive both implementations from identical seeds.
@@ -229,7 +242,8 @@ def cosine_similarity_refined_map(
         points_fg, points_bg = points_override
     else:
         points_fg, points_bg = sample_fgbg_points(
-            rng, attn_norm, gt_points, thr_pos, thr_neg, num_points
+            rng, attn_norm, gt_points, thr_pos, thr_neg, num_points,
+            stride=stride,
         )
     valid_fg = jnp.concatenate([valid, jnp.ones((1,), valid.dtype)])
     cos_fg, fg_proto = refined_similarity(
@@ -264,6 +278,7 @@ def sample_mask_points(
     pos_thr: float = 0.6,
     neg_thr: float = 0.6,
     corr_size: int = 21,
+    stride: int = 1,
 ):
     """Sample mask supervision points inside each pseudo-box.
 
@@ -274,14 +289,21 @@ def sample_mask_points(
     uniformly without replacement from their union. Empty unions yield
     coords = -1 / labels = 0 (ignored downstream).
 
+    ``stride``: resolution of ``map_fg``/``map_bg`` relative to the
+    image; boxes and returned coords are always full-res pixels, and the
+    erosion window shrinks to cover the same pixel extent.
+
     Returns (coords (G, num_gt, 2) xy, labels (G, num_gt) bool).
     """
     g, h, w = map_fg.shape
     keys = jax.random.split(rng, g)
     rows = jnp.arange(h)[:, None]
     cols = jnp.arange(w)[None, :]
+    if stride > 1:
+        corr_size = max(1, (int(round(corr_size / stride)) // 2) * 2 + 1)
 
     def one(key, mfg, mbg, box):
+        box = box / stride
         x1, y1, x2, y2 = (box.astype(jnp.int32)[i] for i in range(4))
         inside = (rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2)
         crop_max_fg = jnp.max(jnp.where(inside, mfg, -jnp.inf))
@@ -294,7 +316,7 @@ def sample_mask_points(
         union = pos_elig | neg_elig
         coords, slot_valid, n = topk_in_mask(key, union, num_gt)
         labels = pos_elig[coords[:, 0], coords[:, 1]]
-        xy = coords[:, ::-1].astype(jnp.float32)
+        xy = (coords[:, ::-1] * stride + stride // 2).astype(jnp.float32)
         empty = n == 0
         xy = jnp.where(empty, -jnp.ones_like(xy), xy)
         labels = jnp.where(empty, jnp.zeros_like(labels), labels)
