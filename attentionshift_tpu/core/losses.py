@@ -20,6 +20,7 @@ __all__ = [
     "softmax_cross_entropy",
     "binary_cross_entropy",
     "l1_loss",
+    "smooth_l1_loss",
     "giou_loss",
     "accuracy",
     "mask_point_bce_loss",
@@ -88,6 +89,15 @@ def binary_cross_entropy(
 
 def l1_loss(pred, target, weight=None, avg_factor=None):
     loss = jnp.abs(pred - target)
+    return _reduce(loss, weight, avg_factor)
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0, weight=None, avg_factor=None):
+    """mmdet SmoothL1Loss: 0.5x^2/beta below beta, |x| - beta/2 above."""
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    if weight is None and avg_factor is None:
+        return loss
     return _reduce(loss, weight, avg_factor)
 
 

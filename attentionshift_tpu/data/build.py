@@ -24,6 +24,12 @@ def build_train_dataset(node: dict):
         return COCOPointDataset(
             node["ann_file"], node["img_prefix"], repeat=int(node.get("repeat", 1))
         )
+    if kind == "InstanceCocoDataset":
+        from .refine import InstanceCocoDataset
+
+        return InstanceCocoDataset(
+            node["ann_file"], node["img_prefix"], repeat=int(node.get("repeat", 1))
+        )
     raise ValueError(f"unknown train dataset type: {kind}")
 
 

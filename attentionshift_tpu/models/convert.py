@@ -15,7 +15,7 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "mae_to_vit_params"]
+__all__ = ["load_torch_state_dict", "mae_to_vit_params", "torchvision_resnet_params"]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -167,4 +167,49 @@ def mae_to_decoder_params(
         linear(f"{src}.attn.proj", [dst, "attn", "proj"])
         linear(f"{src}.mlp.fc1", [dst, "mlp", "fc1"])
         linear(f"{src}.mlp.fc2", [dst, "mlp", "fc2"])
+    return out
+
+
+def torchvision_resnet_params(
+    state: Mapping[str, np.ndarray],
+    params: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a torchvision ResNet state_dict onto ``models.resnet.ResNet``.
+
+    BatchNorm running statistics land in the ``FrozenBN`` constants
+    (mmdet ``norm_eval=True`` semantics). The classifier ``fc.*`` is
+    dropped. Missing keys keep their random init (strict=False).
+    """
+    import copy
+
+    out = copy.deepcopy(params)
+
+    def conv(src: str, path: list[str]) -> None:
+        w = state.get(f"{src}.weight")
+        if w is not None:
+            _set(out, path + ["kernel"], np.transpose(w, (2, 3, 1, 0)))
+
+    def bn(src: str, path: list[str]) -> None:
+        pairs = [
+            ("weight", "scale"), ("bias", "bias"),
+            ("running_mean", "mean"), ("running_var", "var"),
+        ]
+        for tk, fk in pairs:
+            v = state.get(f"{src}.{tk}")
+            if v is not None:
+                _set(out, path + [fk], np.asarray(v))
+
+    conv("conv1", ["conv1"])
+    bn("bn1", ["bn1"])
+    # stage block counts come from the flax tree itself
+    names = [k for k in params if k.startswith("layer")]
+    for name in names:
+        stage, blk = name.replace("layer", "").split("_")
+        src = f"layer{stage}.{blk}"
+        for c in ("1", "2", "3"):
+            conv(f"{src}.conv{c}", [name, f"conv{c}"])
+            bn(f"{src}.bn{c}", [name, f"bn{c}"])
+        if "downsample_conv" in params[name]:
+            conv(f"{src}.downsample.0", [name, "downsample_conv"])
+            bn(f"{src}.downsample.1", [name, "downsample_bn"])
     return out

@@ -33,6 +33,7 @@ __all__ = [
     "weight_decay_mask",
     "step_lr_schedule",
     "build_optimizer",
+    "build_sgd_optimizer",
 ]
 
 
@@ -150,6 +151,38 @@ def build_optimizer(
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.add_decayed_weights(weight_decay, mask=weight_decay_mask(params)),
         _scale_by_tree(lr_scale_tree(params, layer_decay, depth)),
+        optax.scale_by_learning_rate(sched),
+    ]
+    tx = optax.chain(*chain)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def build_sgd_optimizer(
+    params: Any,
+    base_lr: float = 0.02,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    steps_per_epoch: int = 1000,
+    decay_epochs: Sequence[int] = (8, 11),
+    warmup_iters: int = 500,
+    warmup_ratio: float = 1e-3,
+    accumulate_steps: int = 1,
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    """Stock detection recipe (mmdet ``SGD momentum=0.9 wd=1e-4`` +
+    `schedule_1x`), for the Mask R-CNN refinement stage."""
+    sched = step_lr_schedule(
+        base_lr, steps_per_epoch, decay_epochs, warmup_iters=warmup_iters,
+        warmup_ratio=warmup_ratio,
+    )
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain += [
+        optax.add_decayed_weights(weight_decay, mask=weight_decay_mask(params)),
+        optax.trace(decay=momentum, nesterov=False),
         optax.scale_by_learning_rate(sched),
     ]
     tx = optax.chain(*chain)

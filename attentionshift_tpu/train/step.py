@@ -20,7 +20,7 @@ import jax
 
 from .state import TrainState
 
-__all__ = ["make_train_step", "make_eval_step"]
+__all__ = ["make_train_step", "make_refine_train_step", "make_eval_step"]
 
 
 def make_train_step(model, donate: bool = True) -> Callable:
@@ -42,6 +42,37 @@ def make_train_step(model, donate: bool = True) -> Callable:
                 batch["img_wh"],
                 loss_enable=loss_enable,
                 rngs={"sampling": k_samp, "dropout": k_drop},
+            )
+            total = sum(v for k, v in losses.items() if k.startswith("loss"))
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = dict(losses)
+        metrics["loss_total"] = total
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_refine_train_step(model, donate: bool = True) -> Callable:
+    """Train step for the Mask R-CNN refinement stage (full pseudo
+    annotations: boxes + labels + masks instead of points)."""
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array, loss_enable=1.0):
+        k_samp = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            losses, _ = model.apply(
+                params,
+                batch["img"],
+                batch["gt_boxes"],
+                batch["gt_labels"],
+                batch["gt_masks"],
+                batch["gt_valid"],
+                batch["img_wh"],
+                loss_enable=loss_enable,
+                rngs={"sampling": k_samp},
             )
             total = sum(v for k, v in losses.items() if k.startswith("loss"))
             return total, losses

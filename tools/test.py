@@ -57,7 +57,13 @@ def main():
     from attentionshift_tpu.train import TrainState, restore_checkpoint, build_optimizer
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
-    model = AttnShiftDetector(**cfg.model.to_dict())
+    refine = cfg.get("model_type", "attnshift") == "mask_rcnn"
+    if refine:
+        from attentionshift_tpu.models.mask_rcnn import MaskRCNN
+
+        model = MaskRCNN(**cfg.model.to_dict())
+    else:
+        model = AttnShiftDetector(**cfg.model.to_dict())
     dataset = build_eval_dataset(cfg.data.val.to_dict())
     pipeline = TestPipeline(scale=tuple(cfg.data.test_scale))
 
@@ -66,8 +72,19 @@ def main():
     rng = jax.random.PRNGKey(0)
     bh, bw = pipeline.bucket_hw
     g = int(cfg.data.max_gt)
-    shapes = jax.eval_shape(
-        lambda: model.init(
+    if refine:
+        ms = int(cfg.model.get("mask_stride", 4))
+        init_fn = lambda: model.init(
+            {"params": rng, "sampling": rng},
+            jnp.zeros((1, bh, bw, 3), jnp.float32),
+            jnp.zeros((1, g, 4), jnp.float32),
+            jnp.zeros((1, g), jnp.int32),
+            jnp.zeros((1, g, bh // ms, bw // ms), jnp.uint8),
+            jnp.zeros((1, g), bool),
+            jnp.asarray([[float(bw), float(bh)]], jnp.float32),
+        )
+    else:
+        init_fn = lambda: model.init(
             {"params": rng, "sampling": rng, "dropout": rng},
             jnp.zeros((1, bh, bw, 3), jnp.float32),
             jnp.zeros((1, g, 2), jnp.float32),
@@ -75,11 +92,16 @@ def main():
             jnp.zeros((1, g), bool),
             jnp.asarray([[float(bw), float(bh)]], jnp.float32),
         )
-    )
+    shapes = jax.eval_shape(init_fn)
     params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     if args.checkpoint:
-        tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
-                             depth=int(cfg.model.depth))
+        if refine:
+            from attentionshift_tpu.train.optim import build_sgd_optimizer
+
+            tx = build_sgd_optimizer(params, steps_per_epoch=1, accumulate_steps=1)
+        else:
+            tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
+                                 depth=int(cfg.model.depth))
         state = TrainState.create(params, tx)
         state = restore_checkpoint(args.checkpoint, state)
         params = state.params

@@ -54,6 +54,10 @@ def parse_args():
 
 
 def build_model(cfg):
+    if cfg.get("model_type", "attnshift") == "mask_rcnn":
+        from attentionshift_tpu.models.mask_rcnn import MaskRCNN
+
+        return MaskRCNN(**cfg.model.to_dict())
     from attentionshift_tpu.models.detector import AttnShiftDetector
 
     return AttnShiftDetector(**cfg.model.to_dict())
@@ -89,12 +93,23 @@ def main():
         json.dump(cfg.to_dict(), f, indent=2, default=str)
 
     seed = int(cfg.runtime.seed)
+    refine = cfg.get("model_type", "attnshift") == "mask_rcnn"
     dataset = build_train_dataset(cfg.data.train.to_dict())
-    pipeline = TrainPipeline(
-        scales=[tuple(s) for s in cfg.data.train_scales],
-        max_gt=int(cfg.data.max_gt),
-        flip_ratio=float(cfg.data.flip_ratio),
-    )
+    if refine:
+        from attentionshift_tpu.data.refine import RefineTrainPipeline
+
+        pipeline = RefineTrainPipeline(
+            scales=[tuple(s) for s in cfg.data.train_scales],
+            max_gt=int(cfg.data.max_gt),
+            flip_ratio=float(cfg.data.flip_ratio),
+            mask_stride=int(cfg.model.get("mask_stride", 4)),
+        )
+    else:
+        pipeline = TrainPipeline(
+            scales=[tuple(s) for s in cfg.data.train_scales],
+            max_gt=int(cfg.data.max_gt),
+            flip_ratio=float(cfg.data.flip_ratio),
+        )
     loader = TrainLoader(
         dataset, pipeline, batch_size=int(cfg.data.batch_size), seed=seed,
         num_threads=int(cfg.data.num_threads),
@@ -116,40 +131,71 @@ def main():
     # init with one dummy bucket-shaped batch
     bh, bw = pipeline.bucket_hw
     g = int(cfg.data.max_gt)
-    dummy = dict(
-        img=jnp.zeros((1, bh, bw, 3), jnp.float32),
-        gt_points=jnp.zeros((1, g, 2), jnp.float32),
-        gt_labels=jnp.zeros((1, g), jnp.int32),
-        gt_valid=jnp.zeros((1, g), bool),
-        img_wh=jnp.asarray([[float(bw), float(bh)]], jnp.float32),
-    )
-    params = model.init(
-        {"params": rng, "sampling": rng, "dropout": rng},
-        dummy["img"], dummy["gt_points"], dummy["gt_labels"],
-        dummy["gt_valid"], dummy["img_wh"],
-    )
+    if refine:
+        ms = int(cfg.model.get("mask_stride", 4))
+        params = model.init(
+            {"params": rng, "sampling": rng},
+            jnp.zeros((1, bh, bw, 3), jnp.float32),
+            jnp.zeros((1, g, 4), jnp.float32),
+            jnp.zeros((1, g), jnp.int32),
+            jnp.zeros((1, g, bh // ms, bw // ms), jnp.uint8),
+            jnp.zeros((1, g), bool),
+            jnp.asarray([[float(bw), float(bh)]], jnp.float32),
+        )
+    else:
+        params = model.init(
+            {"params": rng, "sampling": rng, "dropout": rng},
+            jnp.zeros((1, bh, bw, 3), jnp.float32),
+            jnp.zeros((1, g, 2), jnp.float32),
+            jnp.zeros((1, g), jnp.int32),
+            jnp.zeros((1, g), bool),
+            jnp.asarray([[float(bw), float(bh)]], jnp.float32),
+        )
 
-    if cfg.get("pretrained"):
+    if cfg.get("pretrained") and not refine:
         sd = load_torch_state_dict(cfg.pretrained)
         bb = mae_to_vit_params(
             sd, params["params"]["backbone"], depth=int(cfg.model.depth)
         )
         params = {**params, "params": {**params["params"], "backbone": bb}}
         print(f"loaded MAE pretrain: {cfg.pretrained}")
+    elif cfg.get("pretrained") and refine:
+        from attentionshift_tpu.models.convert import torchvision_resnet_params
 
-    tx = build_optimizer(
-        params,
-        base_lr=float(cfg.optimizer.base_lr),
-        weight_decay=float(cfg.optimizer.weight_decay),
-        layer_decay=float(cfg.optimizer.layer_decay),
-        depth=int(cfg.model.depth),
-        steps_per_epoch=steps_per_epoch,
-        decay_epochs=tuple(cfg.schedule.decay_epochs),
-        warmup_iters=int(cfg.schedule.warmup_iters),
-        warmup_ratio=float(cfg.schedule.warmup_ratio),
-        accumulate_steps=int(cfg.optimizer.accumulate_steps),
-        grad_clip=cfg.optimizer.get("grad_clip"),
-    )
+        sd = load_torch_state_dict(cfg.pretrained)
+        bb = torchvision_resnet_params(sd, params["params"]["backbone"])
+        params = {**params, "params": {**params["params"], "backbone": bb}}
+        print(f"loaded ResNet pretrain: {cfg.pretrained}")
+
+    if refine:
+        from attentionshift_tpu.train.optim import build_sgd_optimizer
+
+        tx = build_sgd_optimizer(
+            params,
+            base_lr=float(cfg.optimizer.base_lr),
+            momentum=float(cfg.optimizer.get("momentum", 0.9)),
+            weight_decay=float(cfg.optimizer.weight_decay),
+            steps_per_epoch=steps_per_epoch,
+            decay_epochs=tuple(cfg.schedule.decay_epochs),
+            warmup_iters=int(cfg.schedule.warmup_iters),
+            warmup_ratio=float(cfg.schedule.warmup_ratio),
+            accumulate_steps=int(cfg.optimizer.accumulate_steps),
+            grad_clip=cfg.optimizer.get("grad_clip"),
+        )
+    else:
+        tx = build_optimizer(
+            params,
+            base_lr=float(cfg.optimizer.base_lr),
+            weight_decay=float(cfg.optimizer.weight_decay),
+            layer_decay=float(cfg.optimizer.layer_decay),
+            depth=int(cfg.model.depth),
+            steps_per_epoch=steps_per_epoch,
+            decay_epochs=tuple(cfg.schedule.decay_epochs),
+            warmup_iters=int(cfg.schedule.warmup_iters),
+            warmup_ratio=float(cfg.schedule.warmup_ratio),
+            accumulate_steps=int(cfg.optimizer.accumulate_steps),
+            grad_clip=cfg.optimizer.get("grad_clip"),
+        )
     state = TrainState.create(params, tx)
 
     resume = args.resume_from
@@ -168,7 +214,12 @@ def main():
         train_step_ts = make_train_step_ts(
             model, momentum=float(cfg.teacher.get("momentum", 0.999))
         )
-    train_step = make_train_step(model)
+    if refine:
+        from attentionshift_tpu.train.step import make_refine_train_step
+
+        train_step = make_refine_train_step(model)
+    else:
+        train_step = make_train_step(model)
     start_epoch = int(state.epoch)
     total_epochs = int(cfg.schedule.total_epochs)
     loss_start = int(cfg.runtime.loss_weight_start_epoch)
