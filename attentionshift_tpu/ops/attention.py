@@ -5,13 +5,16 @@ matrix in HBM just to keep a head-averaged copy for the pseudo-label
 engine (`models/vision_transformer.py:79-86`). On TPU that burns
 ``H x T^2`` HBM traffic per block. This Pallas kernel computes
 
-    out        = softmax(q k^T / sqrt(d)) v          (per head)
-    mean_probs = mean_h softmax(.)                   (head-averaged, f32)
+    out        = softmax(q k^T / sqrt(d)) v            (per head)
+    mean_probs = mean_h softmax(.)   (head-averaged, storage dtype)
 
-in one pass: for each (batch, query-tile) the whole K/V of one head is
-VMEM-resident (T up to ~4.5k keys x 64 dims fits easily), heads iterate
-in the innermost grid dimension accumulating into the same mean block —
-the per-head (T, T) tensor never exists in HBM.
+in one pass: the grid is (batch, query-tile) and ALL heads' K/V live in
+VMEM for the whole batch element (~6.7 MB at ViT-S bench shape in bf16),
+so K/V are DMA'd once per image rather than once per (q-tile, head);
+heads iterate inside the kernel, accumulating the mean in registers —
+the per-head (T, T) tensor never exists in HBM. bf16 inputs are assumed
+for large T (f32 all-head K/V above ~10 MB can exceed VMEM; the bench
+and train paths run bf16).
 
 Backward (custom_vjp) recomputes probabilities with plain XLA ops — the
 same cost the reference pays under checkpointing; ``mean_probs`` is
@@ -27,7 +30,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["attention_with_capture", "attention_no_capture"]
 
@@ -52,20 +54,17 @@ def _jnp_reference(q, k, v):
     return out, probs.mean(axis=1).astype(q.dtype)
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, acc_ref, *, num_heads, t_real):
-    h = pl.program_id(2)
-    q = q_ref[0, 0]  # (TQ, d)
-    k = k_ref[0, 0]  # (Tpad, d)
-    v = v_ref[0, 0]
+def _head_attn(q, k, v, t_real):
+    """One head's attention for a q tile; probs returned in f32.
+
+    Operands stay in their storage dtype (bf16 on the bench path) so the
+    MXU runs at native rate; accumulation is f32.
+    """
     d = q.shape[-1]
-    # keep operands in their storage dtype (bf16 on the bench path) so the
-    # MXU runs at native rate; accumulate in f32 and scale the f32 logits
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * (d**-0.5)  # (TQ, Tpad)
-    # mask padded keys
-    tpad = logits.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < t_real, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -73,26 +72,25 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, acc_ref, *, num_heads, t_rea
         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
-
-    # head-mean accumulates in an f32 VMEM scratch; the (possibly bf16)
-    # HBM block is written once, by the last head
-    contrib = probs * (1.0 / num_heads)
-
-    @pl.when(h == 0)
-    def _():
-        acc_ref[...] = contrib
-
-    @pl.when(h > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + contrib
-
-    @pl.when(h == num_heads - 1)
-    def _():
-        mean_ref[0] = acc_ref[...].astype(mean_ref.dtype)
+    return out, probs
 
 
-def _pallas_forward(q, k, v, tile_q: int = 256):
+def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
+    # heads iterate INSIDE the kernel: the K/V blocks cover all heads and
+    # depend only on the batch index, so they are DMA'd once per batch
+    # element and stay VMEM-resident across every q tile — the grid
+    # formulation with heads as a grid axis re-fetched the full K/V per
+    # (q-tile, head), ~17x more HBM traffic at the bench shape.
+    acc = None
+    for h in range(num_heads):
+        out, probs = _head_attn(q_ref[0, h], k_ref[0, h], v_ref[0, h], t_real)
+        out_ref[0, h] = out.astype(out_ref.dtype)
+        contrib = probs * (1.0 / num_heads)
+        acc = contrib if acc is None else acc + contrib
+    mean_ref[0] = acc.astype(mean_ref.dtype)
+
+
+def _pallas_forward(q, k, v, tile_q: int = 128):
     b, h, t, d = q.shape
     tpad = ((t + tile_q - 1) // tile_q) * tile_q
     pad = tpad - t
@@ -103,7 +101,7 @@ def _pallas_forward(q, k, v, tile_q: int = 256):
     else:
         qp, kp, vp = q, k, v
 
-    grid = (b, tpad // tile_q, h)  # heads innermost: mean block stays hot
+    grid = (b, tpad // tile_q)
     out, mean = pl.pallas_call(
         functools.partial(_kernel, num_heads=h, t_real=t),
         out_shape=(
@@ -112,35 +110,23 @@ def _pallas_forward(q, k, v, tile_q: int = 256):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, tpad, d), lambda bi, qi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, tpad, d), lambda bi, qi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, tile_q, tpad), lambda bi, qi, hi: (bi, qi, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, tile_q, tpad), lambda bi, qi: (bi, qi, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((tile_q, tpad), jnp.float32)],
     )(qp, kp, vp)
     return out[:, :, :t], mean[:, :t, :t]
 
 
-def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, t_real):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    d = q.shape[-1]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * (d**-0.5)
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < t_real, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, t_real):
+    # same resident-K/V head loop as ``_kernel`` (see comment there)
+    for h in range(num_heads):
+        out, _ = _head_attn(q_ref[0, h], k_ref[0, h], v_ref[0, h], t_real)
+        out_ref[0, h] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -151,7 +137,7 @@ def attention_no_capture(q, k, v, use_pallas: bool = True):
     if not (use_pallas and q.shape[-1] % 8 == 0):
         return _jnp_reference(q, k, v)[0]
     b, h, t, d = q.shape
-    tile_q = 256
+    tile_q = 128
     tpad = ((t + tile_q - 1) // tile_q) * tile_q
     pad = tpad - t
     if pad:
@@ -159,15 +145,15 @@ def attention_no_capture(q, k, v, use_pallas: bool = True):
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_plain_kernel, t_real=t),
+        functools.partial(_plain_kernel, num_heads=h, t_real=t),
         out_shape=jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
-        grid=(b, tpad // tile_q, h),
+        grid=(b, tpad // tile_q),
         in_specs=[
-            pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, tpad, d), lambda bi, qi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, tpad, d), lambda bi, qi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile_q, d), lambda bi, qi, hi: (bi, hi, qi, 0)),
+        out_specs=pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
     )(q, k, v)
     return out[:, :, :t]
 

@@ -58,3 +58,16 @@ bench(
     x_patch.astype(jnp.bfloat16),
     name="resize bf16 in/out",
 )
+
+
+# MXU roofline: big bf16 matmul (same order as one ViT block's attention)
+m1 = jnp.asarray(rng.randn(4352, 4352), jnp.bfloat16)
+m2 = jnp.asarray(rng.randn(4352, 384), jnp.bfloat16)
+bench(
+    jax.jit(lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.float32)),
+    m1, m1, name="matmul 4352^3 bf16 (165 GF)",
+)
+bench(
+    jax.jit(lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.float32)),
+    m1, m2, name="matmul 4352x4352x384 (14.6 GF)",
+)
