@@ -291,7 +291,10 @@ class AttnShiftDetector(nn.Module):
         point_reg = out["outputs_coord"]
 
         # ---- Stage A: Hungarian token match + rollout CAMs + candidates
-        rollout = attention_rollout_point_rows(out["attns"], self.point_tokens)
+        # backbone maps are softmax outputs -> rowsum(A + I) == 2 exactly
+        rollout = attention_rollout_point_rows(
+            out["attns"], self.point_tokens, assume_normalized=True
+        )
         rollout = rollout.transpose(1, 0, 2, 3)  # (B, L, P, T)
 
         def assign_one(cls_p, reg_p, pts, lbls, val, wh):

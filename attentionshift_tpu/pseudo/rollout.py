@@ -13,6 +13,16 @@ keeping only (P, T) row blocks — an O(T^2 P) matmul chain instead of
 O(T^3), and O(L P T) memory instead of O(L T^2). Output order matches the
 reference's ``reverse_joint``: index 0 = last layer alone, index L-1 =
 full product.
+
+The augmentation ``Aug = (A + I) / rowsum(A + I)`` is folded into the
+product instead of materialised: with ``w = 1 / (1 + rowsum(A))``,
+
+    r @ Aug = (r * w) @ A + (r * w)
+
+so each stored (bf16) map is read exactly once and no f32 (T, T)
+tensor is ever written. When the maps are softmax outputs (rows sum to
+1, the backbone's case) ``assume_normalized=True`` replaces the rowsum
+pass with the exact constant ``w = 1/2``.
 """
 
 from __future__ import annotations
@@ -32,30 +42,50 @@ def augment_attention(attn: jnp.ndarray) -> jnp.ndarray:
 
 
 def attention_rollout_point_rows(
-    attns: jnp.ndarray, num_points: int
+    attns: jnp.ndarray, num_points: int, assume_normalized: bool = False
 ) -> jnp.ndarray:
     """Rollout restricted to the trailing ``num_points`` query rows.
 
     Args:
         attns: (L, B, T, T) mean-head attention of the trailing L blocks,
-            in depth order (attns[-1] = deepest block).
+            in depth order (attns[-1] = deepest block); any float dtype.
         num_points: number of point tokens P (the last P rows).
+        assume_normalized: rows of ``attns`` sum to 1 (softmax outputs) —
+            skips the per-row-sum pass using the exact identity
+            ``rowsum(A + I) = 2``.
 
     Returns:
         (L, B, P, T) float32; out[i] equals the point-token rows of the
         reference's ``reverse_joint_attentions[i]``.
     """
     l, b, t, _ = attns.shape
-    aug = augment_attention(attns.astype(jnp.float32))
-    r0 = aug[-1][:, -num_points:, :]  # (B, P, T)
+    p = num_points
 
-    def step(r, a_rev):
-        r_new = jnp.einsum(
-            "bpt,btu->bpu", r, a_rev, preferred_element_type=jnp.float32
+    def inv_rowsum(a, rows=None):
+        if assume_normalized:
+            shape = (b, p if rows is not None else t)
+            return jnp.full(shape, 0.5, jnp.float32)
+        af = a.astype(jnp.float32)
+        s = (af[:, rows] if rows is not None else af).sum(-1)
+        return 1.0 / (1.0 + s)
+
+    # r0 = point rows of Aug[-1]
+    last = attns[-1]
+    w0 = inv_rowsum(last, rows=slice(t - p, t))  # (B, P)
+    rows_f = last[:, -p:, :].astype(jnp.float32)
+    eye_rows = jax.nn.one_hot(jnp.arange(t - p, t), t, dtype=jnp.float32)
+    r0 = (rows_f + eye_rows[None]) * w0[..., None]
+
+    def step(r, a):
+        rw = r * inv_rowsum(a)[:, None, :]  # (B, P, T)
+        prod = jnp.einsum(
+            "bpt,btu->bpu", rw.astype(a.dtype), a,
+            preferred_element_type=jnp.float32,
         )
+        r_new = prod + rw
         return r_new, r_new
 
     # multiply by aug[-2], aug[-3], ..., aug[0]
-    rest = aug[:-1][::-1]  # (L-1, B, T, T)
+    rest = attns[:-1][::-1]  # (L-1, B, T, T)
     _, rs = jax.lax.scan(step, r0, rest)
     return jnp.concatenate([r0[None], rs], axis=0)

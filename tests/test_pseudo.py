@@ -55,6 +55,28 @@ def test_rollout_matches_full_product():
         )
 
 
+def test_rollout_assume_normalized_matches_generic():
+    """The rowsum(A+I)=2 fast path equals the generic path on softmaxed
+    maps, and also handles non-normalised maps correctly when off."""
+    rng = np.random.RandomState(3)
+    L, B, T, P = 5, 1, 20, 4
+    attns = jax.nn.softmax(jnp.asarray(rng.randn(L, B, T, T), jnp.float32), -1)
+    gen = attention_rollout_point_rows(attns, P, assume_normalized=False)
+    fast = attention_rollout_point_rows(attns, P, assume_normalized=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(gen), rtol=1e-5, atol=1e-6)
+
+    # un-normalised input: generic path must still match the dense oracle
+    raw = jnp.asarray(rng.rand(L, B, T, T), jnp.float32) * 3.0
+    out = attention_rollout_point_rows(raw, P)
+    aug = np.asarray(augment_attention(raw))
+    ref = aug[-1].copy()
+    for j in range(2, L + 1):
+        ref = np.einsum("bpt,btu->bpu", ref, aug[L - j])
+    np.testing.assert_allclose(
+        np.asarray(out[-1]), ref[:, -P:, :], rtol=1e-5, atol=1e-6
+    )
+
+
 # ---------------------------------------------------------------- Stage A
 def _bbox_oracle(cam, point, thr=0.2, ratio=0.5):
     """Numpy oracle: normalize, threshold, 8-conn CCL, area filter, expand."""

@@ -29,19 +29,22 @@ def main():
     args = p.parse_args()
 
     from attentionshift_tpu.config import Config
-    from attentionshift_tpu.models.detector import AttnShiftDetector
 
     cfg = Config.fromfile(args.config)
-    model = AttnShiftDetector(**cfg.model.to_dict())
+    if cfg.get("model_type", "attnshift") == "mask_rcnn":
+        from attentionshift_tpu.models.mask_rcnn import MaskRCNN as Model
+    else:
+        from attentionshift_tpu.models.detector import AttnShiftDetector as Model
+    model = Model(**cfg.model.to_dict())
     h, w = args.shape
     img = jnp.zeros((1, h, w, 3), jnp.float32)
     wh = jnp.asarray([[float(w), float(h)]])
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, img, wh, method=AttnShiftDetector.simple_test)
+    params = model.init(rng, img, wh, method=Model.simple_test)
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     lowered = jax.jit(
-        lambda p, i, s: model.apply(p, i, s, method=AttnShiftDetector.simple_test)
+        lambda p, i, s: model.apply(p, i, s, method=Model.simple_test)
     ).lower(params, img, wh)
     cost = lowered.compile().cost_analysis()
     flops = cost.get("flops", float("nan")) if cost else float("nan")
