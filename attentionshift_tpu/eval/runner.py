@@ -24,6 +24,45 @@ from .mean_ap_segm import eval_map_segm
 __all__ = ["evaluate"]
 
 
+def collect_results_fs(
+    gather_dir: str,
+    process_index: int,
+    process_count: int,
+    part: dict,
+    timeout_s: float = 1800.0,
+):
+    """Filesystem gather of per-process eval shards.
+
+    The reference's ``collect_results_cpu`` (`mmdet/apis/test.py:117-158`):
+    every rank pickles its shard to a shared tmpdir, rank 0 polls for all
+    parts and merges. Same protocol here over the shared FS every TPU
+    pod host mounts. Returns the merged part list on process 0, None on
+    other processes.
+    """
+    import os
+    import pickle
+
+    os.makedirs(gather_dir, exist_ok=True)
+    tmp = os.path.join(gather_dir, f".part_{process_index}.tmp")
+    final = os.path.join(gather_dir, f"part_{process_index}.pkl")
+    with open(tmp, "wb") as f:
+        pickle.dump(part, f)
+    os.replace(tmp, final)  # atomic publish
+    if process_index != 0:
+        return None
+    parts = []
+    t0 = time.time()
+    for rank in range(process_count):
+        path = os.path.join(gather_dir, f"part_{rank}.pkl")
+        while not os.path.exists(path):
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(f"eval gather: missing {path}")
+            time.sleep(1.0)
+        with open(path, "rb") as f:
+            parts.append(pickle.load(f))
+    return parts
+
+
 def evaluate(
     model,
     params,
@@ -33,12 +72,23 @@ def evaluate(
     num_classes: int | None = None,
     aug_tester=None,
     verbose: bool = True,
-) -> dict:
+    process_index: int = 0,
+    process_count: int = 1,
+    gather_dir: str | None = None,
+) -> dict | None:
     """Single-scale (or aug-test) inference + dataset-appropriate metric.
+
+    With ``process_count > 1`` (multi-host pods) each process runs the
+    ``process_index``-strided shard of the dataset (the
+    ``multi_gpu_test`` sharding, `mmdet/apis/test.py:69-116`) and
+    predictions are merged through ``gather_dir``; only process 0
+    computes and returns the metric dict, others return None.
 
     Returns a dict of metric name -> value (mAP@{.25,.5,.75} for VOC,
     AP/AP50/AP75 for COCO).
     """
+    if process_count > 1 and gather_dir is None:
+        raise ValueError("multi-process eval needs gather_dir on a shared FS")
     pipeline = TestPipeline(scale=tuple(test_scale))
     is_coco = isinstance(dataset, COCOEvalDataset)
     if num_classes is None:
@@ -49,10 +99,11 @@ def evaluate(
     )
 
     n = len(dataset) if limit is None else min(limit, len(dataset))
+    my_indices = list(range(n))[process_index::process_count]
     preds = dict(masks=[], labels=[], scores=[])
     gts = dict(masks=[], labels=[], crowd=[])
     t0 = time.time()
-    for i in range(n):
+    for i in my_indices:
         if aug_tester is not None:
             raw = dataset[i]["img"]
             a = aug_tester(raw)
@@ -80,9 +131,30 @@ def evaluate(
         gts["masks"].append(gt["masks"])
         gts["labels"].append(gt["labels"])
         gts["crowd"].append(gt.get("iscrowd", np.zeros(len(gt["labels"]), bool)))
-        if verbose and (i + 1) % 50 == 0:
-            print(f"eval {i + 1}/{n} ({(i + 1) / (time.time() - t0):.2f} img/s)",
-                  flush=True)
+        done = len(preds["labels"])
+        if verbose and done % 50 == 0:
+            print(f"eval {done}/{len(my_indices)} "
+                  f"({done / (time.time() - t0):.2f} img/s)", flush=True)
+
+    if process_count > 1:
+        parts = collect_results_fs(
+            gather_dir, process_index, process_count,
+            dict(indices=my_indices, preds=preds, gts=gts),
+        )
+        if parts is None:
+            return None
+        order = []
+        preds = dict(masks=[], labels=[], scores=[])
+        gts = dict(masks=[], labels=[], crowd=[])
+        for part in parts:
+            order.extend(part["indices"])
+            for k in preds:
+                preds[k].extend(part["preds"][k])
+            for k in gts:
+                gts[k].extend(part["gts"][k])
+        rank = np.argsort(order)
+        preds = {k: [v[j] for j in rank] for k, v in preds.items()}
+        gts = {k: [v[j] for j in rank] for k, v in gts.items()}
 
     if is_coco:
         res = coco_segm_eval(

@@ -367,3 +367,64 @@ def test_pipeline_crop_and_brightness():
     o2 = pipe2(sample, np.random.RandomState(2))
     assert not np.allclose(o1["img"], o2["img"])
     np.testing.assert_allclose(o1["gt_points"], o2["gt_points"])
+
+
+def test_evaluate_multiprocess_gather_matches_single(tmp_path):
+    """Sharded eval (multi_gpu_test + collect_results_cpu parity): two
+    simulated processes through the FS gather == single-process run."""
+    import jax.numpy as jnp
+
+    from typing import NamedTuple
+
+    from attentionshift_tpu.core.postprocess import Detections
+    from attentionshift_tpu.eval.runner import evaluate
+
+    K = 4
+
+    class StubOut(NamedTuple):
+        dets: Detections
+        mask_probs: jnp.ndarray
+
+    class StubModel:
+        """Deterministic detector: one fixed box+mask per image."""
+
+        def simple_test(self, img, wh):
+            pass
+
+        def apply(self, p, img, wh, method=None):
+            boxes = jnp.tile(jnp.asarray([[8.0, 8.0, 40.0, 48.0]]), (K, 1))[None]
+            scores = jnp.asarray([[0.9, 0.0, 0.0, 0.0]])
+            labels = jnp.zeros((1, K), jnp.int32)
+            valid = jnp.asarray([[True, False, False, False]])
+            masks = jnp.ones((1, K, 28, 28), jnp.float32)
+            return StubOut(Detections(boxes, scores, labels, valid), masks)
+
+    class StubDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return dict(img=(rng.rand(64, 96, 3) * 255).astype(np.uint8))
+
+        def gt_instances(self, i):
+            m = np.zeros((1, 64, 96), np.uint8)
+            m[0, 8:48, 8:40] = 1
+            return dict(masks=m, labels=np.zeros(1, np.int64))
+
+    ds = StubDataset()
+    single = evaluate(
+        StubModel(), {}, ds, test_scale=(64, 96), num_classes=3, verbose=False
+    )
+    # rank 1 first (returns None), then rank 0 merges
+    r1 = evaluate(
+        StubModel(), {}, ds, test_scale=(64, 96), num_classes=3, verbose=False,
+        process_index=1, process_count=2, gather_dir=str(tmp_path),
+    )
+    assert r1 is None
+    r0 = evaluate(
+        StubModel(), {}, ds, test_scale=(64, 96), num_classes=3, verbose=False,
+        process_index=0, process_count=2, gather_dir=str(tmp_path),
+    )
+    assert r0 == single
+    assert r0["mAP@0.25"] > 0.9  # the stub box matches the gt mask

@@ -44,6 +44,8 @@ def parse_args():
     p.add_argument("--aug-test", action="store_true",
                    help="multi-scale + flip augmented inference (6 scales x2)")
     p.add_argument("--out", default=None, help="dump raw results json")
+    p.add_argument("--gather-dir", default="/tmp/attnshift_eval_gather",
+                   help="shared-FS dir for multi-host prediction gather")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -122,7 +124,11 @@ def main():
         model, params, dataset, test_scale=tuple(cfg.data.test_scale),
         limit=args.limit, aug_tester=aug_tester,
         num_classes=int(cfg.model.num_classes),
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        gather_dir=args.gather_dir,
     )
+    if results is None:  # non-zero process of a multi-host eval
+        return
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
