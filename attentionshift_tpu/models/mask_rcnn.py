@@ -305,6 +305,49 @@ class MaskRCNN(nn.Module):
         ) * loss_enable
         return losses, dict(rois=rois, pos=pos)
 
+    # ---------------------------------------------------- aug-test stages
+    # same stage contract as ``AttnShiftDetector`` so ``eval.aug_test.
+    # AugTester`` (the reference's 6-scale x flip protocol) drives either
+    # detector unchanged
+    def rpn_test(self, img):
+        """Backbone + RPN proposals in this augmentation's frame."""
+        b, h, w, _ = img.shape
+        fpn_feats = self._features(img)
+        cls_scores, bbox_preds = self.rpn_head(fpn_feats)
+        featmap_sizes = [f.shape[1:3] for f in fpn_feats]
+        return rpn_proposals(
+            cls_scores, bbox_preds, grid_anchors_per_level(featmap_sizes),
+            (h, w), nms_pre=1000, max_per_img=self.num_proposals,
+        )
+
+    def roi_test(self, img, rois):
+        """Box head on given rois: softmax scores + per-class decoded boxes."""
+        b, h, w, _ = img.shape
+        r = rois.shape[1]
+        fpn_feats = self._features(img)
+        roi_feats = self._roi_feats(fpn_feats, rois, 7)
+        cls_score, bbox_pred = self.bbox_head(roi_feats)
+        scores = jax.nn.softmax(cls_score, -1).reshape(b, r, -1)
+        decoded = jax.vmap(
+            lambda rois_i, d: delta2bbox(
+                jnp.repeat(rois_i, self.num_classes, axis=0),
+                d.reshape(-1, 4), max_shape=(h, w), stds=REG_STDS,
+            ).reshape(r, self.num_classes, 4)
+        )(rois, bbox_pred.reshape(b, r, -1))
+        return scores, decoded
+
+    def mask_test(self, img, rois, labels):
+        """Mask head on given rois -> (B, R, 28, 28) probs of ``labels``."""
+        b = img.shape[0]
+        r = rois.shape[1]
+        fpn_feats = self._features(img)
+        mask_feats = self._roi_feats(fpn_feats, rois, 14)
+        logits = self.mask_head(mask_feats)
+        probs = jax.nn.sigmoid(logits).reshape(b, r, 28, 28, self.num_classes)
+        return jnp.take_along_axis(
+            probs, labels[..., None, None, None], axis=-1
+        )[..., 0]
+
     # --------------------------------------------------------------- test
     def simple_test(self, img, img_wh):
         """(B, K) detections + 28x28 mask probabilities (host pastes)."""

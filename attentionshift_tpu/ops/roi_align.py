@@ -105,6 +105,11 @@ def roi_align(
     per_roi_feats = feats[batch_idx]  # (N, C, H, W)
     # (N, C, S, W) <- (N, S, H) x (N, C, H, W)
     tmp = jnp.einsum("nsh,nchw->ncsw", wy, per_roi_feats, preferred_element_type=jnp.float32)
+    # the (N, C, S, W) intermediate is the dominant HBM cost of the
+    # separable form; store it in the feature dtype (bf16 on TPU) —
+    # interpolation weights are exact in bf16's range and the second
+    # contraction accumulates in f32
+    tmp = tmp.astype(feats.dtype)
     crops = jnp.einsum("ncsw,ntw->ncst", tmp, wx, preferred_element_type=jnp.float32)
     # average pool the sr x sr samples inside each bin
     crops = crops.reshape(n, c, out, sr, out, sr).mean(axis=(3, 5))

@@ -22,13 +22,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
 
 
-def make_mesh(devices: Sequence[Any] | None = None, data: int | None = None) -> Mesh:
-    """(data, model=1) mesh over the given (or all) devices."""
+def make_mesh(
+    devices: Sequence[Any] | None = None,
+    data: int | None = None,
+    model: int = 1,
+) -> Mesh:
+    """(data, model) mesh over the given (or all) devices.
+
+    ``model > 1`` enables tensor parallelism (see ``parallel.tp``); the
+    data extent is derived as ``len(devices) // model``.
+    """
     if devices is None:
         devices = jax.devices()
     if data is not None:
-        devices = devices[:data]
-    arr = np.asarray(devices).reshape(len(devices), 1)
+        devices = devices[: data * model]
+    n = len(devices)
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    arr = np.asarray(devices).reshape(n // model, model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

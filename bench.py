@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop "
+                         "(view with tensorboard/xprof)")
     args = ap.parse_args()
 
     from attentionshift_tpu.models.detector import AttnShiftDetector
@@ -94,11 +97,17 @@ def main():
         out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(i))
         sync(out)
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(100 + i))
-    sync(out)
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
+    with trace_ctx:
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(100 + i))
+        sync(out)
+        dt = time.perf_counter() - t0
 
     imgs_per_sec = args.steps * b / dt
     ref_gpu_estimate = 10.0  # img/s; no published reference throughput

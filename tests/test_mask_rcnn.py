@@ -340,3 +340,25 @@ runtime = dict(log_interval=1, checkpoint_interval=1, eval_interval=1,
     assert r3.returncode == 0, r3.stdout[-2000:] + r3.stderr[-2000:]
     out = _json.loads(r3.stdout.strip().splitlines()[-1])
     assert set(out) == {"mAP@0.25", "mAP@0.5", "mAP@0.75"}
+
+
+def test_mask_rcnn_aug_test_stages():
+    """AugTester drives MaskRCNN through the same stage contract."""
+    from attentionshift_tpu.eval.aug_test import AugTester
+
+    model = _model()
+    rng = np.random.RandomState(0)
+    img, boxes, labels, masks, valid, wh = _batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        img, boxes, labels, masks, valid, wh,
+    )
+    tester = AugTester(model, params, scales=[(96, 128)], flip=True)
+    raw = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    out = tester(raw, max_dets=6)
+    assert out["boxes"].shape == (6, 4)
+    assert out["mask_probs"].shape == (6, 28, 28)
+    assert np.isfinite(out["mask_probs"]).all()
+    b = out["boxes"]
+    assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+    assert (b[:, [0, 2]] <= W).all() and (b[:, [1, 3]] <= H).all()

@@ -157,3 +157,58 @@ def test_checkpoint_roundtrip(tmp_path):
     opt_b = jax.tree.leaves(state2.opt_state)
     for a, b in zip(opt_a, opt_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_tensor_parallel_matches_single_device():
+    """TP-sharded ViT forward (Megatron specs via parallel.tp) equals the
+    replicated single-device result."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from attentionshift_tpu.models.vit import VisionTransformerDet
+    from attentionshift_tpu.parallel.tp import shard_params_tp, tp_spec_tree
+
+    model = VisionTransformerDet(
+        embed_dim=96, depth=4, num_heads=6, img_size=64,
+        out_indices=(0, 1, 2, 3), point_tokens_num=8, capture_layers=1,
+        use_remat=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32)
+    params = model.init(rng, img)
+
+    ref = model.apply(params, img)
+
+    mesh = make_mesh(jax.devices("cpu")[:4], model=2)  # dp2 x tp2
+    specs = tp_spec_tree(params, mesh)
+    # the rules actually hit the transformer kernels
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    sharded_paths = [
+        "/".join(str(k.key) for k in kp if hasattr(k, "key"))
+        for kp, s in flat if s != P()
+    ]
+    assert any("qkv/kernel" in p for p in sharded_paths)
+    assert any("fc2/kernel" in p for p in sharded_paths)
+
+    with mesh:
+        p_tp = shard_params_tp(params, mesh)
+        img_sh = jax.device_put(img, NamedSharding(mesh, P("data")))
+        out = jax.jit(lambda p, x: model.apply(p, x))(p_tp, img_sh)
+
+    for k in ("point_tokens", "outputs_class", "last_feat"):
+        np.testing.assert_allclose(
+            np.asarray(out[k], np.float32), np.asarray(ref[k], np.float32),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_tp_indivisible_dims_fall_back_to_replication():
+    from jax.sharding import PartitionSpec as P
+
+    from attentionshift_tpu.parallel.tp import _spec_for
+
+    assert _spec_for(("blocks_0", "attn", "qkv", "kernel"), (96, 288), 2) == P(None, "model")
+    # 287 not divisible by 2 -> replicate instead of failing placement
+    assert _spec_for(("blocks_0", "attn", "qkv", "kernel"), (96, 287), 2) == P()
+    # patch embed conv is also named "proj" (timm) but must stay replicated
+    assert _spec_for(("patch_embed", "proj", "kernel"), (16, 16, 3, 96), 2) == P()
