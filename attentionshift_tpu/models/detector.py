@@ -75,6 +75,7 @@ class AttnShiftDetector(nn.Module):
     use_remat: bool = True
     use_pallas_attention: bool = False
     use_pallas_ccl: bool = False
+    sequence_parallel: bool = False  # see VisionTransformerDet
     # pseudo-label engine
     max_gt: int = 20
     seed_thr: float = 0.2
@@ -128,6 +129,7 @@ class AttnShiftDetector(nn.Module):
             capture_layers=self.cam_layer,
             use_remat=self.use_remat,
             use_pallas_attention=self.use_pallas_attention,
+            sequence_parallel=self.sequence_parallel,
             dtype=self.dtype,
             name="backbone",
         )

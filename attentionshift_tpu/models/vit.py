@@ -65,6 +65,13 @@ class VisionTransformerDet(nn.Module):
     with_point_head: bool = True
     use_remat: bool = True
     use_pallas_attention: bool = False
+    # shard the token axis over the mesh's 'model' axis between blocks
+    # (sequence parallelism): LN/residual/MLP segments hold only T/tp
+    # tokens per chip, GSPMD gathers around the attention contractions.
+    # The reference has no long-context story at all (SURVEY.md section
+    # 5); this is the TPU-native scaling path for large images. Only
+    # valid under jit inside a Mesh that has a 'model' axis.
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,6 +126,17 @@ class VisionTransformerDet(nn.Module):
         # concrete when the whole model is traced under an outer jax.jit
         dpr = np.linspace(0.0, self.drop_path_rate, self.depth).tolist()
         capture_from = self.depth - self.capture_layers
+
+        def seq_shard(t):
+            if not self.sequence_parallel:
+                return t
+            from jax.sharding import PartitionSpec as P
+
+            # batch axis left free (the input's data sharding propagates);
+            # only the token axis is pinned to the model axis
+            return jax.lax.with_sharding_constraint(t, P(None, "model", None))
+
+        x = seq_shard(x)
         feats = []
         attns = []
         block_cls = nn.remat(Block) if self.use_remat else Block
@@ -136,6 +154,7 @@ class VisionTransformerDet(nn.Module):
                 name=f"blocks_{i}",
             )
             x, attn = block(x)
+            x = seq_shard(x)
             if capture:
                 attns.append(attn)
             if i in self.out_indices:

@@ -212,3 +212,37 @@ def test_tp_indivisible_dims_fall_back_to_replication():
     assert _spec_for(("blocks_0", "attn", "qkv", "kernel"), (96, 287), 2) == P()
     # patch embed conv is also named "proj" (timm) but must stay replicated
     assert _spec_for(("patch_embed", "proj", "kernel"), (16, 16, 3, 96), 2) == P()
+
+
+def test_sequence_parallel_matches_single_device():
+    """sequence_parallel=True shards the token axis between blocks; the
+    result equals the unsharded forward."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from attentionshift_tpu.models.vit import VisionTransformerDet
+
+    kw = dict(
+        embed_dim=96, depth=4, num_heads=6, img_size=64,
+        out_indices=(0, 1, 2, 3), point_tokens_num=8, capture_layers=1,
+        use_remat=False,
+    )
+    base = VisionTransformerDet(**kw)
+    sp = VisionTransformerDet(**kw, sequence_parallel=True)
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32)
+    params = base.init(rng, img)
+    ref = base.apply(params, img)
+
+    mesh = make_mesh(jax.devices("cpu")[:4], model=2)
+    with mesh:
+        p = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+        )
+        img_sh = jax.device_put(img, NamedSharding(mesh, P("data")))
+        out = jax.jit(lambda pp, x: sp.apply(pp, x))(p, img_sh)
+    for k in ("point_tokens", "last_feat"):
+        np.testing.assert_allclose(
+            np.asarray(out[k], np.float32), np.asarray(ref[k], np.float32),
+            rtol=2e-4, atol=2e-5,
+        )
