@@ -25,7 +25,14 @@ import numpy as np
 from PIL import Image
 
 from ..native import rle_decode, rle_from_string
-from .pipeline import IMAGENET_MEAN, IMAGENET_STD, TRAIN_SCALES, _pad_to, _resize_keep_ratio
+from .pipeline import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    TRAIN_SCALES,
+    TrainPipeline,
+    _pad_to,
+    _resize_keep_ratio,
+)
 
 __all__ = ["InstanceCocoDataset", "RefineTrainPipeline"]
 
@@ -46,16 +53,10 @@ def _seg_to_mask(seg, h: int, w: int) -> np.ndarray:
     if isinstance(seg, dict):
         counts = seg["counts"]
         if isinstance(counts, str):
-            return rle_decode(rle_from_string(counts, seg["size"]))
-        # uncompressed RLE: column-major runs
-        m = np.zeros(h * w, np.uint8)
-        pos, val = 0, 0
-        for run in counts:
-            if val:
-                m[pos : pos + run] = 1
-            pos += run
-            val ^= 1
-        return m.reshape(w, h).T
+            rle = rle_from_string(counts, seg["size"])
+        else:  # uncompressed column-major run list
+            rle = {"size": seg["size"], "counts": counts}
+        return rle_decode(rle).astype(np.uint8)
     # polygon list
     from ..native import polygons_to_mask
 
@@ -116,8 +117,11 @@ class InstanceCocoDataset:
         )
 
 
-class RefineTrainPipeline:
-    """Flip -> multiscale resize -> normalise -> pad; boxes+masks ride along."""
+class RefineTrainPipeline(TrainPipeline):
+    """Flip -> multiscale resize -> normalise -> pad; boxes+masks ride
+    along. Shares the static-bucket machinery with ``TrainPipeline``
+    (identical bucket shapes keep the jitted train step at two compiled
+    executables across both stages)."""
 
     def __init__(
         self,
@@ -127,22 +131,11 @@ class RefineTrainPipeline:
         size_divisor: int = 32,
         mask_stride: int = 4,
     ):
-        self.scales = scales
-        self.max_gt = max_gt
-        self.flip_ratio = flip_ratio
+        super().__init__(
+            scales=scales, max_gt=max_gt, flip_ratio=flip_ratio,
+            size_divisor=size_divisor,
+        )
         self.mask_stride = mask_stride
-        short = max(s[0] for s in scales)
-        long = max(s[1] for s in scales)
-        pad = lambda v: (v + size_divisor - 1) // size_divisor * size_divisor
-        self.bucket_hw = (pad(short), pad(long))
-
-    def bucket_of(self, img: np.ndarray) -> str:
-        h, w = img.shape[:2]
-        return "landscape" if w >= h else "portrait"
-
-    def bucket_shape(self, bucket: str) -> tuple[int, int]:
-        bh, bw = self.bucket_hw
-        return (bh, bw) if bucket == "landscape" else (bw, bh)
 
     def __call__(self, sample: dict, rng: np.random.RandomState) -> dict:
         img = sample["img"]

@@ -30,6 +30,8 @@ def collect_results_fs(
     process_count: int,
     part: dict,
     timeout_s: float = 1800.0,
+    started_at: float | None = None,
+    clock_skew_s: float = 120.0,
 ):
     """Filesystem gather of per-process eval shards.
 
@@ -38,10 +40,19 @@ def collect_results_fs(
     parts and merges. Same protocol here over the shared FS every TPU
     pod host mounts. Returns the merged part list on process 0, None on
     other processes.
+
+    Staleness guard (the reference gets this from a fresh per-run
+    tempdir, which needs a broadcast we deliberately avoid): rank 0 only
+    accepts part files written after ``started_at`` (minus a clock-skew
+    allowance), so leftovers from a previous run in the same
+    ``gather_dir`` time out loudly instead of merging silently. Rank 0
+    deletes all part files after the merge.
     """
     import os
     import pickle
 
+    if started_at is None:
+        started_at = time.time()
     os.makedirs(gather_dir, exist_ok=True)
     tmp = os.path.join(gather_dir, f".part_{process_index}.tmp")
     final = os.path.join(gather_dir, f"part_{process_index}.pkl")
@@ -52,14 +63,25 @@ def collect_results_fs(
         return None
     parts = []
     t0 = time.time()
+    fresh_after = started_at - clock_skew_s
     for rank in range(process_count):
         path = os.path.join(gather_dir, f"part_{rank}.pkl")
-        while not os.path.exists(path):
+        while True:
+            try:
+                if os.path.getmtime(path) >= fresh_after:
+                    break
+            except OSError:
+                pass
             if time.time() - t0 > timeout_s:
-                raise TimeoutError(f"eval gather: missing {path}")
+                raise TimeoutError(f"eval gather: missing/stale {path}")
             time.sleep(1.0)
         with open(path, "rb") as f:
             parts.append(pickle.load(f))
+    for rank in range(process_count):
+        try:
+            os.remove(os.path.join(gather_dir, f"part_{rank}.pkl"))
+        except OSError:
+            pass
     return parts
 
 
@@ -140,6 +162,7 @@ def evaluate(
         parts = collect_results_fs(
             gather_dir, process_index, process_count,
             dict(indices=my_indices, preds=preds, gts=gts),
+            started_at=t0,
         )
         if parts is None:
             return None

@@ -340,6 +340,8 @@ class MaskRCNN(nn.Module):
         """Mask head on given rois -> (B, R, 28, 28) probs of ``labels``."""
         b = img.shape[0]
         r = rois.shape[1]
+        if not self.with_mask:  # Faster R-CNN variant: full-box masks
+            return jnp.ones((b, r, 28, 28), jnp.float32)
         fpn_feats = self._features(img)
         mask_feats = self._roi_feats(fpn_feats, rois, 14)
         logits = self.mask_head(mask_feats)

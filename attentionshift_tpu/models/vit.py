@@ -132,9 +132,9 @@ class VisionTransformerDet(nn.Module):
                 return t
             from jax.sharding import PartitionSpec as P
 
-            # batch axis left free (the input's data sharding propagates);
-            # only the token axis is pinned to the model axis
-            return jax.lax.with_sharding_constraint(t, P(None, "model", None))
+            # batch stays on 'data' (None would mean REPLICATED and force
+            # per-block all-gathers over the data axis), tokens on 'model'
+            return jax.lax.with_sharding_constraint(t, P("data", "model", None))
 
         x = seq_shard(x)
         feats = []

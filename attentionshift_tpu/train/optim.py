@@ -77,8 +77,33 @@ def lr_scale_tree(params: Any, layer_decay: float, depth: int) -> Any:
     return jax.tree_util.tree_map_with_path(scale, params)
 
 
-def weight_decay_mask(params: Any) -> Any:
-    """True where weight decay applies (mmcv no-decay rules)."""
+def weight_decay_mask(params: Any, frozen_stages: int = -1) -> Any:
+    """True where weight decay applies (mmcv no-decay rules).
+
+    ``frozen_stages``: additionally exclude the ResNet stem/early-stage
+    params that ``models.resnet.ResNet`` freezes via ``stop_gradient`` —
+    their gradients are zero but decoupled decay would still shrink the
+    pretrained weights every step (torch ``requires_grad=False`` params
+    receive neither grads nor decay).
+    """
+
+    def frozen(path: tuple[str, ...]) -> bool:
+        if frozen_stages < 0 or "backbone" not in path:
+            return False
+        i = path.index("backbone")
+        rest = path[i + 1 :]
+        if not rest:
+            return False
+        head = rest[0]
+        if frozen_stages >= 0 and head in ("conv1", "bn1"):
+            return True
+        if head.startswith("layer"):
+            try:
+                stage = int(head.replace("layer", "").split("_")[0])
+            except ValueError:
+                return False
+            return stage <= frozen_stages
+        return False
 
     def use_wd(kp, p):
         path = _key_path(kp)
@@ -87,6 +112,8 @@ def weight_decay_mask(params: Any) -> Any:
         if p.ndim <= 1 or name == "bias":
             return False
         if full.endswith("_token") or "pos_embed" in full:
+            return False
+        if frozen(path):
             return False
         return True
 
@@ -170,9 +197,12 @@ def build_sgd_optimizer(
     warmup_ratio: float = 1e-3,
     accumulate_steps: int = 1,
     grad_clip: float | None = None,
+    frozen_stages: int = 1,
 ) -> optax.GradientTransformation:
     """Stock detection recipe (mmdet ``SGD momentum=0.9 wd=1e-4`` +
-    `schedule_1x`), for the Mask R-CNN refinement stage."""
+    `schedule_1x`), for the Mask R-CNN refinement stage.
+    ``frozen_stages`` must match the backbone's so frozen params are
+    excluded from weight decay (their grads are already zero)."""
     sched = step_lr_schedule(
         base_lr, steps_per_epoch, decay_epochs, warmup_iters=warmup_iters,
         warmup_ratio=warmup_ratio,
@@ -181,7 +211,9 @@ def build_sgd_optimizer(
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain += [
-        optax.add_decayed_weights(weight_decay, mask=weight_decay_mask(params)),
+        optax.add_decayed_weights(
+            weight_decay, mask=weight_decay_mask(params, frozen_stages)
+        ),
         optax.trace(decay=momentum, nesterov=False),
         optax.scale_by_learning_rate(sched),
     ]

@@ -362,3 +362,55 @@ def test_mask_rcnn_aug_test_stages():
     b = out["boxes"]
     assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
     assert (b[:, [0, 2]] <= W).all() and (b[:, [1, 3]] <= H).all()
+
+
+def test_faster_rcnn_variant_no_mask_head():
+    """with_mask=False (plain Faster R-CNN): no mask params, full-box
+    probs from both simple_test and the aug-test mask stage."""
+    model = MaskRCNN(
+        num_classes=5, num_proposals=20, rpn_nms_pre=40, rcnn_samples=16,
+        mask_sample_cap=4, depths=(1, 1, 1, 1), test_max_per_img=6,
+        with_mask=False,
+    )
+    rng = np.random.RandomState(0)
+    img, boxes, labels, masks, valid, wh = _batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        img, boxes, labels, masks, valid, wh,
+    )
+    assert "mask_head" not in params["params"]
+    losses, _ = model.apply(
+        p := params, img, boxes, labels, masks, valid, wh,
+        rngs={"sampling": jax.random.PRNGKey(2)},
+    )
+    assert "loss_mask" not in losses
+    out = model.apply(p, img, wh, method=MaskRCNN.simple_test)
+    assert (np.asarray(out.mask_probs) == 1.0).all()
+    rois = out.dets.boxes
+    m = model.apply(p, img, rois, out.dets.labels, method=MaskRCNN.mask_test)
+    assert (np.asarray(m) == 1.0).all()
+
+
+def test_sgd_frozen_stage_weight_decay_excluded():
+    """Frozen ResNet stem/layer1 kernels get NO weight decay (their
+    grads are already zero via stop_gradient)."""
+    import optax
+
+    from attentionshift_tpu.train.optim import build_sgd_optimizer
+
+    model = ResNet(depths=(1, 1, 1, 1), frozen_stages=1)
+    x = jnp.ones((1, 64, 64, 3))
+    inner = model.init(jax.random.PRNGKey(0), x)
+    params = {"params": {"backbone": inner["params"]}}
+    tx = build_sgd_optimizer(
+        params, base_lr=1.0, momentum=0.0, weight_decay=0.1,
+        steps_per_epoch=10, warmup_iters=0, frozen_stages=1,
+    )
+    opt = tx.init(params)
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_g, opt, params)
+    upd = updates["params"]["backbone"]
+    assert float(jnp.abs(upd["conv1"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(upd["layer1_0"]["conv1"]["kernel"]).sum()) == 0.0
+    # trainable stages DO decay
+    assert float(jnp.abs(upd["layer4_0"]["conv1"]["kernel"]).sum()) > 0.0

@@ -181,6 +181,7 @@ def main():
             warmup_ratio=float(cfg.schedule.warmup_ratio),
             accumulate_steps=int(cfg.optimizer.accumulate_steps),
             grad_clip=cfg.optimizer.get("grad_clip"),
+            frozen_stages=int(cfg.model.get("frozen_stages", 1)),
         )
     else:
         tx = build_optimizer(
