@@ -106,7 +106,7 @@ runtime = dict(log_interval=1, checkpoint_interval=1, eval_interval=1,
     return str(cfg)
 
 
-def _run(cmd, timeout=840):
+def _run(cmd, timeout=1500):
     env = dict(os.environ)
     env["ATTNSHIFT_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = env.get("XLA_FLAGS", "")
