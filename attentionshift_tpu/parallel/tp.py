@@ -31,7 +31,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["tp_spec_tree", "shard_params_tp"]
+__all__ = ["tp_spec_tree", "shard_params_tp", "shard_opt_state_tp"]
 
 # (path suffix, spec) — first match wins. Suffixes are scoped to the
 # attn/mlp submodules: a bare ("proj", "kernel") would also catch the
@@ -89,3 +89,16 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def shard_opt_state_tp(opt_state: Any, mesh: Mesh) -> Any:
+    """Place optimizer state with the parameter TP specs.
+
+    Optimizer moments (adam mu/nu, MultiSteps acc_grads) mirror the
+    parameter tree, so their key paths end with the same
+    ``attn.qkv.kernel``-style suffixes the TP_RULES match on; scalar
+    bookkeeping leaves (step counts, schedules) match no rule and stay
+    replicated. This is the same spec tree production training uses —
+    sharding it here keeps the dryrun honest about optimizer placement.
+    """
+    return shard_params_tp(opt_state, mesh)
