@@ -43,6 +43,8 @@ from ..pseudo.rollout import attention_rollout_point_rows
 from .condinst import SimpleCondInstHead
 from .fpn import FPN
 from .heads import BoxHeadRec, MILHead, MaskHeadPointSup, mask_point_loss
+from .mae_head import MAEDecoderHead
+from .reppoints import RepPointsPartHead, contour_points, refine_fg_maps
 from .rpn import RPNHead, rpn_loss, rpn_proposals
 from .vit import VisionTransformerDet
 
@@ -110,6 +112,21 @@ class AttnShiftDetector(nn.Module):
     # generate dynamic classifiers over semantic-part features
     with_keypoint_align: bool = False
     keypoint_feat_channels: int = 8
+    # RepPoints part-refinement cascade (COCO path, `stdroi:2663-2717`):
+    # num_reppoints_head heads over detached stride-16 features; heads
+    # beyond the first re-estimate fg maps from the refined centers
+    # (`update_fg_map`, `stdroi:2737-2760`). with_deform_sup feeds the
+    # refined centers back into the mask head's supervision points
+    # (reference hardcodes it False at `stdroi:1390`).
+    with_reppoints_head: bool = False
+    num_reppoints_head: int = 1
+    with_deform_sup: bool = False
+    reppoints_num_points: int = 9
+    reppoints_contour_points: int = 16
+    # MAE auxiliary reconstruction loss on the encoder tokens
+    # (`with_mae_head`, `stdroi:2731-2733`; `roi_heads/mae_head.py:22`)
+    with_mae_head: bool = False
+    mae_mask_ratio: float = 0.75
     # test
     test_score_thr: float = 0.05
     test_iou_thr: float = 0.5
@@ -154,6 +171,19 @@ class AttnShiftDetector(nn.Module):
             self.keypoint_align_head = SimpleCondInstHead(
                 feat_channels=self.keypoint_feat_channels,
                 name="keypoint_align_head",
+            )
+        if self.with_reppoints_head:
+            self.reppoints_heads = [
+                RepPointsPartHead(
+                    num_points=self.reppoints_num_points, dtype=self.dtype,
+                    name=f"reppoints_head_{i}",
+                )
+                for i in range(self.num_reppoints_head)
+            ]
+        if self.with_mae_head:
+            self.mae_head = MAEDecoderHead(
+                in_channels=self.embed_dim, mask_ratio=self.mae_mask_ratio,
+                dtype=self.dtype, name="mae_head",
             )
 
     # ------------------------------------------------------------- shared
@@ -243,13 +273,65 @@ class AttnShiftDetector(nn.Module):
             self._point_losses(point_cls, point_reg, assigned, gt_points, gt_labels, img_wh)
         )
 
+        # ---- RepPoints part-refinement cascade (`stdroi:2663-2717`)
+        mask_pt_coords, mask_pt_labels = pl.point_coords, pl.point_labels
+        if self.with_reppoints_head:
+            k_rp = jax.random.fold_in(rng, 7)
+            rp_feats = jax.lax.stop_gradient(fpn_feats[2])  # stride-16 level
+            vit_feat_d = jax.lax.stop_gradient(
+                out["last_feat"][:, 1:].reshape(b, hp, wp, self.embed_dim)
+            ).transpose(0, 3, 1, 2)  # (B, D, Hp, Wp)
+            centers = pl.centers.coords  # (B, G, P, 2)
+            cvalid = pl.centers.part_valid
+            fg_maps, rp_masks = pl.map_fg, pl.pseudo_masks
+            for i, head in enumerate(self.reppoints_heads):
+                if i > 0:
+                    # update_fg_map between cascade stages (`stdroi:2737-2760`)
+                    fg_maps, rp_masks = jax.vmap(
+                        lambda f, v, c, cv: refine_fg_maps(
+                            f, v, c, cv, pos_mask_thr=self.pos_mask_thr
+                        )
+                    )(fg_maps, vit_feat_d, centers, cvalid)
+                cont_keys = jax.random.split(jax.random.fold_in(k_rp, i), b)
+                cont_xy, cont_val = jax.vmap(
+                    lambda m, k: contour_points(
+                        m, self.reppoints_contour_points, k
+                    )
+                )(rp_masks, cont_keys)
+                rpo = head(
+                    rp_feats, pseudo_boxes, centers, cvalid, gt_valid,
+                    rp_masks, fg_maps, cont_xy, cont_val,
+                )
+                suffix = "" if i == 0 else f"_{i - 1}"
+                losses.update({k + suffix: v for k, v in rpo.losses.items()})
+                centers, cvalid = rpo.new_centers, rpo.new_valid
+            if self.with_deform_sup:
+                # refined centers replace the semantic-center positives in
+                # the mask supervision points (engine layout: centers are
+                # the LAST max_parts entries of point_coords)
+                p = centers.shape[2]
+                new_xy = jnp.where(cvalid[..., None], centers, -1.0)
+                new_lbl = jnp.where(cvalid, 1, 2).astype(mask_pt_labels.dtype)
+                mask_pt_coords = jnp.concatenate(
+                    [mask_pt_coords[:, :, :-p], new_xy], axis=2
+                )
+                mask_pt_labels = jnp.concatenate(
+                    [mask_pt_labels[:, :, :-p], new_lbl], axis=2
+                )
+
         # ---- RCNN box + mask heads
         losses.update(
             self._rcnn_losses(
                 k_rcnn, roi_map, props, pseudo_boxes, gt_labels, gt_valid,
-                pl.point_coords, pl.point_labels, loss_enable,
+                mask_pt_coords, mask_pt_labels, loss_enable,
             )
         )
+
+        # ---- MAE auxiliary reconstruction (`stdroi:2731-2733`)
+        if self.with_mae_head:
+            losses["loss_mae_rec"] = self.mae_head(
+                out["last_feat"], img, jax.random.fold_in(rng, 11)
+            )
 
         # ---- keypoint-align variant: instance tokens classify their parts
         if self.with_keypoint_align:

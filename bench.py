@@ -9,6 +9,16 @@ accelerator — the BASELINE.json headline metric.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
+Hostile-environment hardening (round-1 lesson: the driver run recorded
+rc=124 with no output):
+- a SIGTERM/SIGINT handler and a wall-clock watchdog (``--budget-s``)
+  both emit the best-so-far JSON (or an ``error`` JSON naming the phase
+  reached) and exit, so *something* is always recorded;
+- a tiny backend smoke matmul runs first — a dead accelerator fails
+  fast with an error JSON instead of hanging in a 20-minute compile;
+- the timed loop updates the best-so-far estimate after every step, so
+  a mid-loop kill still reports a measured rate.
+
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md). We report against the north-star bar instead: the target
 is >5x an (unpublished) reference GPU rate; we normalise by a
@@ -20,9 +30,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
-
 import os
+import signal
+import sys
+import threading
+import time
 
 import jax
 
@@ -35,6 +47,50 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+REF_GPU_ESTIMATE = 10.0  # img/s; no published reference throughput
+
+# mutable progress state shared with the watchdog/signal handlers
+_STATE = {
+    "phase": "startup",     # startup -> smoke -> init -> compile -> timing -> done
+    "value": None,           # best-so-far img/s/chip (None until measured)
+    "partial": True,
+    "emitted": False,
+}
+_EMIT_LOCK = threading.Lock()
+
+
+def _emit(error: str | None = None) -> None:
+    """Print the single JSON result line exactly once."""
+    with _EMIT_LOCK:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+        rec = {
+            "metric": "pseudomask_images_per_sec_per_chip",
+            "value": round(_STATE["value"], 3) if _STATE["value"] else 0.0,
+            "unit": "img/s/chip",
+            "vs_baseline": round((_STATE["value"] or 0.0) / REF_GPU_ESTIMATE, 3),
+        }
+        if _STATE["partial"]:
+            rec["partial"] = True
+            rec["phase"] = _STATE["phase"]
+        if error:
+            rec["error"] = error
+        print(json.dumps(rec), flush=True)
+
+
+def _die(reason: str) -> None:
+    _emit(error=None if _STATE["value"] else reason)
+    os._exit(0)
+
+
+def _install_guards(budget_s: float) -> None:
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda s, f: _die(f"killed by signal {s} in phase {_STATE['phase']}"))
+    t = threading.Timer(budget_s, lambda: _die(f"self-watchdog at {budget_s}s in phase {_STATE['phase']}"))
+    t.daemon = True
+    t.start()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -42,19 +98,32 @@ def main():
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--max-gt", type=int, default=20)
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--budget-s", type=float, default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
+                    help="wall-clock watchdog: emit best-so-far JSON and exit at this age")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(view with tensorboard/xprof)")
     args = ap.parse_args()
 
+    t_start = time.perf_counter()
+    _install_guards(args.budget_s)
+
+    # ---- phase: smoke — fail fast if the accelerator is dead ----
+    _STATE["phase"] = "smoke"
+    dev = jax.devices()[0]
+    x = jax.device_put(jnp.ones((256, 256), jnp.float32), dev)
+    s = float(jnp.sum(x @ x))
+    if not np.isfinite(s):
+        _die("backend smoke matmul returned non-finite")
+
     from attentionshift_tpu.models.detector import AttnShiftDetector
 
-    dev = jax.devices()[0]
+    _STATE["phase"] = "init"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = dev.platform != "cpu"
     model = AttnShiftDetector(
         num_classes=20, embed_dim=384, depth=12, num_heads=6, img_size=224,
         point_tokens=100, cam_layer=7, max_gt=args.max_gt, use_remat=False,
@@ -74,10 +143,16 @@ def main():
     valid = jnp.tile(jnp.asarray([[True] * n_valid + [False] * (g - n_valid)]), (b, 1))
     img_wh = jnp.tile(jnp.asarray([[float(w), float(h)]]), (b, 1))
 
-    params = model.init(
-        {"params": rng, "sampling": rng}, img, pts, lbls, valid, img_wh,
-        method=type(model).seed_pseudo_gt,
-    )
+    # jit the init: run eagerly it dispatches thousands of small ops
+    # through the tunneled backend (~1.2ms RTT each, ~9 minutes total);
+    # jitted it is one cacheable executable (~15s)
+    params = jax.jit(
+        lambda r: model.init(
+            {"params": r, "sampling": r}, img, pts, lbls, valid, img_wh,
+            method=type(model).seed_pseudo_gt,
+        )
+    )(rng)
+    jax.block_until_ready(params)
 
     @jax.jit
     def seed(params, img, pts, lbls, valid, img_wh, key):
@@ -91,32 +166,56 @@ def main():
         # whose block_until_ready is a no-op (the tunneled axon plugin)
         return float(jnp.sum(o["pseudo_gt_bboxes"]))
 
-    # warmup / compile
-    out = None
-    for i in range(args.warmup):
+    # ---- phase: compile + warmup ----
+    _STATE["phase"] = "compile"
+    out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(0))
+    sync(out)
+    t_compiled = time.perf_counter()
+    for i in range(1, args.warmup):
         out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(i))
         sync(out)
+    # coarse post-warmup estimate (includes one host sync — a floor, not
+    # the headline rate) so an early kill still reports a measured value
+    t1 = time.perf_counter()
+    out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(99))
+    sync(out)
+    one_dt = max(time.perf_counter() - t1, 1e-6)
+    _STATE["value"] = b / one_dt
 
+    # scale the timed loop to the remaining budget (keep a 15% margin)
+    remaining = args.budget_s - (time.perf_counter() - t_start)
+    steps = max(1, min(args.steps, int(0.85 * remaining / max(one_dt, 1e-3))))
+
+    # ---- phase: timing ----
+    # Steps are enqueued in chunks with one sync per chunk: a per-step
+    # host sync through the tunneled backend costs ~0.4s of RTT (vs a
+    # ~30ms device step) and would dominate the measurement, while one
+    # sync per chunk amortises it AND leaves the watchdog a true
+    # best-so-far rate if it fires between chunks.
+    _STATE["phase"] = "timing"
     import contextlib
 
     trace_ctx = (
         jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
     )
+    chunk = 10
     with trace_ctx:
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(100 + i))
-        sync(out)
+        done_steps = 0
+        while done_steps < steps:
+            n = min(chunk, steps - done_steps)
+            for i in range(n):
+                out = seed(params, img, pts, lbls, valid, img_wh,
+                           jax.random.PRNGKey(100 + done_steps + i))
+            sync(out)
+            done_steps += n
+            _STATE["value"] = done_steps * b / (time.perf_counter() - t0)
         dt = time.perf_counter() - t0
 
-    imgs_per_sec = args.steps * b / dt
-    ref_gpu_estimate = 10.0  # img/s; no published reference throughput
-    print(json.dumps({
-        "metric": "pseudomask_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
-        "unit": "img/s/chip",
-        "vs_baseline": round(imgs_per_sec / ref_gpu_estimate, 3),
-    }))
+    _STATE["value"] = steps * b / dt
+    _STATE["partial"] = False
+    _STATE["phase"] = "done"
+    _emit()
 
 
 if __name__ == "__main__":

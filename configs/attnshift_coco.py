@@ -50,6 +50,12 @@ model = dict(
     obj_tau=0.85,
     mean_shift_times=10,
     num_semantic_points=3,
+    # RepPoints part-refinement cascade (the reference COCO config's
+    # reppoints_head branch, `attnshift_..._qc.py:61-84` — head authored
+    # in models/reppoints.py to the SURVEY §2.9 contract)
+    with_reppoints_head=True,
+    num_reppoints_head=1,
+    reppoints_num_points=9,
     rpn_channels=256,
     num_proposals=1000,
     rpn_nms_pre=2000,

@@ -128,6 +128,55 @@ def test_data_parallel_train_step_8dev():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_train_step_with_reppoints_cascade_and_mae_head():
+    """RepPoints cascade (`stdroi:2663-2717`) + MAE aux head
+    (`stdroi:2731-2733`) wired through the full train step: cascade loss
+    keys (suffixed per stage), finite losses, and gradients reach both
+    heads' parameters."""
+    model = AttnShiftDetector(
+        **TINY, with_reppoints_head=True, num_reppoints_head=2,
+        with_deform_sup=True, reppoints_num_points=5,
+        reppoints_contour_points=8, with_mae_head=True,
+    )
+    B, H, W = 2, 64, 64
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "img": jnp.asarray(np.random.RandomState(0).randn(B, H, W, 3), jnp.float32),
+        "gt_points": jnp.tile(jnp.asarray([[[20.0, 20.0], [40.0, 44.0]]]), (B, 1, 1)),
+        "gt_labels": jnp.tile(jnp.asarray([[1, 3]], jnp.int32), (B, 1)),
+        "gt_valid": jnp.tile(jnp.asarray([[True, True]]), (B, 1)),
+        "img_wh": jnp.tile(jnp.asarray([[64.0, 64.0]]), (B, 1)),
+    }
+    params = model.init(
+        {"params": rng, "sampling": rng, "dropout": rng},
+        batch["img"][:1], batch["gt_points"][:1], batch["gt_labels"][:1],
+        batch["gt_valid"][:1], batch["img_wh"][:1],
+    )
+    # both heads' params exist
+    assert "reppoints_head_0" in params["params"]
+    assert "reppoints_head_1" in params["params"]
+    assert "mae_head" in params["params"]
+
+    tx = build_optimizer(params, steps_per_epoch=10, accumulate_steps=1, depth=4)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(model, donate=False)
+    new_state, metrics = train_step(state, batch, rng)
+
+    # stage-0 keys unsuffixed, stage-1 keys suffixed `_0` (reference
+    # `reppoint_loss_2[k + f'_{i}']`, `stdroi:2681-2684`)
+    for k in ("loss_rp_border", "loss_rp_chamfer_sem", "loss_rp_chamfer_contour",
+              "loss_rp_cls", "loss_rp_border_0", "loss_rp_cls_0", "loss_mae_rec"):
+        assert k in metrics, sorted(metrics)
+        assert np.isfinite(float(metrics[k])), k
+    # optimizer touched the aux heads' params
+    for head in ("reppoints_head_0", "mae_head"):
+        before = jax.tree.leaves(params["params"][head])
+        after = jax.tree.leaves(new_state.params["params"][head])
+        delta = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                    for a, b in zip(after, before))
+        assert delta > 0, f"no update reached {head}"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from attentionshift_tpu.train.checkpoint import (
         latest_checkpoint, restore_checkpoint, save_checkpoint,
