@@ -22,7 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    os.environ.get(
+        "ATTNSHIFT_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])

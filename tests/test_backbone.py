@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-detector / subprocess tests
+
 import jax
 import jax.numpy as jnp
 

@@ -1,5 +1,6 @@
 """Tests for anchors, assignment, sampling, NMS post-processing, FPN, RPN."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -223,6 +224,7 @@ def test_fpn_shapes():
     assert outs[4].shape == (b, 2, 2, 16)
 
 
+@pytest.mark.slow
 def test_rpn_head_and_proposals():
     b = 2
     sizes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
@@ -245,6 +247,7 @@ def test_rpn_head_and_proposals():
     assert np.asarray(props.valid).any()
 
 
+@pytest.mark.slow
 def test_rpn_loss_runs_and_padding_safe():
     b = 1
     sizes = [(8, 8), (4, 4)]

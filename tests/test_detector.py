@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-detector / subprocess tests
+
 from attentionshift_tpu.models.detector import AttnShiftDetector
 
 TINY = dict(

@@ -1,5 +1,6 @@
 """Tests for the RoI sub-heads (MIL, box-rec, point-sup mask)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ def test_mil_head_selects_discriminative_layer():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_box_head_shapes():
     head = BoxHeadRec(num_classes=20)
     R, S, C = 4, 7, 384
@@ -81,6 +83,7 @@ def test_box_head_loss_perfect_pred_zero_giou():
     assert float(losses["acc"]) == 100.0
 
 
+@pytest.mark.slow
 def test_box_head_loss_enable_gate():
     head = BoxHeadRec(num_classes=4)
     R = 2

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-detector / subprocess tests
+
 from attentionshift_tpu.models.mask_rcnn import MaskRCNN
 from attentionshift_tpu.models.resnet import ResNet
 

@@ -1,5 +1,6 @@
 """Tests for CRF refinement, Sinkhorn, point2bbox, pallas attention, viz."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def test_semantic_correspondence_identity():
 
 
 # ------------------------------------------------------------ point2bbox
+@pytest.mark.slow
 def test_point2bbox():
     P, C, hp, wp = 6, 5, 8, 8
     rng = np.random.RandomState(0)
@@ -125,6 +127,7 @@ def test_visualize_roundtrip(tmp_path):
     assert len(paths) == 2
 
 
+@pytest.mark.slow
 def test_deformable_conv_attention():
     from attentionshift_tpu.models.deformable_attention import DeformableConvAttention
 

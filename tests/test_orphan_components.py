@@ -16,6 +16,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 
+@pytest.mark.slow
 def test_condinst_head_shapes_and_masking():
     from attentionshift_tpu.models.condinst import SimpleCondInstHead
 
@@ -54,6 +55,7 @@ def test_condinst_head_shapes_and_masking():
     assert gnorm > 0
 
 
+@pytest.mark.slow
 def test_condinst_dynamic_params_separate_instances():
     """A trained-by-hand controller separates parts by instance."""
     from attentionshift_tpu.models.condinst import SimpleCondInstHead

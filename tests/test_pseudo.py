@@ -237,6 +237,7 @@ def test_refined_similarity_select_winner_take_all():
     assert (nonzero_per_pixel <= 1).all()
 
 
+@pytest.mark.slow
 def test_cosine_similarity_refined_map_shapes():
     rng = np.random.RandomState(5)
     G, D, Hp, Wp = 2, 8, 4, 4
@@ -418,6 +419,7 @@ def test_semantic_centers_invalid_instances_masked():
     assert not np.asarray(out.part_valid)[1].any()
 
 
+@pytest.mark.slow
 def test_bbox_from_labels_batch_matches_single():
     from scipy import ndimage as ndi
 

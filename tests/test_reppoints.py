@@ -1,5 +1,8 @@
 """Tests for the RepPoints-style part refinement head."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-detector / subprocess tests
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,8 @@
 """Tests for the Swin backbone + attnshift hook."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-detector / subprocess tests
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import optax
 import pytest
 
+# compile-heavy tests carry individual slow marks; the optimizer/schedule
+# unit tests stay in the quick tier
+
 from attentionshift_tpu.models.detector import AttnShiftDetector
 from attentionshift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from attentionshift_tpu.train.optim import (
@@ -91,6 +94,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_8dev():
     """One DP train step on the virtual 8-device mesh."""
     ndev = len(jax.devices("cpu"))
@@ -128,6 +132,7 @@ def test_data_parallel_train_step_8dev():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_train_step_with_reppoints_cascade_and_mae_head():
     """RepPoints cascade (`stdroi:2663-2717`) + MAE aux head
     (`stdroi:2731-2733`) wired through the full train step: cascade loss
@@ -208,6 +213,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_single_device():
     """TP-sharded ViT forward (Megatron specs via parallel.tp) equals the
     replicated single-device result."""
@@ -263,6 +269,7 @@ def test_tp_indivisible_dims_fall_back_to_replication():
     assert _spec_for(("patch_embed", "proj", "kernel"), (16, 16, 3, 96), 2) == P()
 
 
+@pytest.mark.slow
 def test_sequence_parallel_matches_single_device():
     """sequence_parallel=True shards the token axis between blocks; the
     result equals the unsharded forward."""
