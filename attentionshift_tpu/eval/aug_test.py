@@ -44,7 +44,9 @@ class AugTester:
             lambda p, img: model.apply(p, img, method=type(model).rpn_test)
         )
         self._roi = jax.jit(
-            lambda p, img, rois: model.apply(p, img, rois, method=type(model).roi_test)
+            lambda p, img, rois, wh: model.apply(
+                p, img, rois, wh, method=type(model).roi_test
+            )
         )
         self._mask = jax.jit(
             lambda p, img, rois, lbl: model.apply(
@@ -112,7 +114,8 @@ class AugTester:
                 rois[:, 0] = aw - rois[:, 0]
                 rois[:, 2] = aw - rois[:, 2]
             scores, decoded = self._roi(
-                self.params, jnp.asarray(a["img"]), jnp.asarray(rois)[None]
+                self.params, jnp.asarray(a["img"]), jnp.asarray(rois)[None],
+                jnp.asarray([a["awh"]], jnp.float32),
             )
             scores = np.asarray(scores[0])  # (R, C+1)
             boxes = np.asarray(decoded[0])  # (R, C, 4)

@@ -654,10 +654,14 @@ class AttnShiftDetector(nn.Module):
             (h, w), nms_pre=1000, max_per_img=self.num_proposals,
         )
 
-    def roi_test(self, img, rois):
+    def roi_test(self, img, rois, img_wh):
         """Box head on given rois: softmax scores + per-class decoded boxes.
 
-        ``rois``: (B, R, 4) in this augmentation's frame.
+        ``rois``: (B, R, 4) in this augmentation's frame; ``img_wh``:
+        (B, 2) true (w, h) of that frame before padding. Decoded boxes
+        clip to the true extent — the same semantics as ``simple_test``
+        (mmdet clips to ``img_shape``, never the padded canvas, in both
+        paths: `two_stage_point_sup.py:288-300` / `aug_test`).
         """
         b, h, w, _ = img.shape
         _, roi_map, _ = self._extract(img)
@@ -667,8 +671,24 @@ class AttnShiftDetector(nn.Module):
         scores = jax.nn.softmax(cls_score, axis=-1).reshape(b, r, -1)
         deltas = bbox_pred.reshape(b, r, self.num_classes, 4)
         decoded = delta2bbox(rois[:, :, None, :], deltas, stds=(0.1, 0.1, 0.2, 0.2))
-        decoded = clip_boxes(decoded, (h, w))
+        decoded = self._clip_to_wh(decoded, img_wh)
         return scores, decoded
+
+    @staticmethod
+    def _clip_to_wh(boxes, img_wh):
+        """Clip (B, ..., 4) xyxy boxes to per-image true (w, h)."""
+        extra = (None,) * (boxes.ndim - 2)
+        wmax = img_wh[(slice(None), 0) + extra]
+        hmax = img_wh[(slice(None), 1) + extra]
+        return jnp.stack(
+            [
+                jnp.clip(boxes[..., 0], 0, wmax),
+                jnp.clip(boxes[..., 1], 0, hmax),
+                jnp.clip(boxes[..., 2], 0, wmax),
+                jnp.clip(boxes[..., 3], 0, hmax),
+            ],
+            axis=-1,
+        )
 
     def mask_test(self, img, rois, labels):
         """Mask head on given rois -> (B, R, 28, 28) probs of ``labels``."""
@@ -703,18 +723,8 @@ class AttnShiftDetector(nn.Module):
         decoded = delta2bbox(
             rois[:, :, None, :], deltas, stds=(0.1, 0.1, 0.2, 0.2)
         )  # (B, N, C, 4)
-        # clip to the true image area
-        wmax = img_wh[:, 0][:, None, None]
-        hmax = img_wh[:, 1][:, None, None]
-        decoded = jnp.stack(
-            [
-                jnp.clip(decoded[..., 0], 0, wmax),
-                jnp.clip(decoded[..., 1], 0, hmax),
-                jnp.clip(decoded[..., 2], 0, wmax),
-                jnp.clip(decoded[..., 3], 0, hmax),
-            ],
-            axis=-1,
-        )
+        # clip to the true image area (shared with roi_test)
+        decoded = self._clip_to_wh(decoded, img_wh)
 
         def nms_one(bx, sc, val):
             return multiclass_nms(

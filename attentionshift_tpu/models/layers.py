@@ -62,12 +62,19 @@ class Attention(nn.Module):
         v = v.transpose(0, 2, 1, 3)
 
         if self.use_pallas:
-            from ..ops.attention import attention_no_capture, attention_with_capture
+            # _sharded variants shard_map the kernel over the mesh's
+            # ``model`` axis (heads) when a >1 TP mesh is active, so the
+            # fused kernels compose with tensor parallelism; without a
+            # mesh they are the plain fused kernels.
+            from ..ops.attention import (
+                attention_no_capture_sharded,
+                attention_with_capture_sharded,
+            )
 
             if capture:
-                out, attn_mean = attention_with_capture(q, k, v, True)
+                out, attn_mean = attention_with_capture_sharded(q, k, v, True)
             else:
-                out, attn_mean = attention_no_capture(q, k, v, True), None
+                out, attn_mean = attention_no_capture_sharded(q, k, v, True), None
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
             out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
             return out, attn_mean

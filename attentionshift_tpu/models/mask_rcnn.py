@@ -320,20 +320,25 @@ class MaskRCNN(nn.Module):
             (h, w), nms_pre=1000, max_per_img=self.num_proposals,
         )
 
-    def roi_test(self, img, rois):
-        """Box head on given rois: softmax scores + per-class decoded boxes."""
-        b, h, w, _ = img.shape
+    def roi_test(self, img, rois, img_wh):
+        """Box head on given rois: softmax scores + per-class decoded boxes.
+
+        ``img_wh``: (B, 2) true (w, h) of this augmentation's frame —
+        boxes clip to it, matching ``simple_test`` / mmdet ``img_shape``
+        semantics (never the padded canvas).
+        """
+        b = img.shape[0]
         r = rois.shape[1]
         fpn_feats = self._features(img)
         roi_feats = self._roi_feats(fpn_feats, rois, 7)
         cls_score, bbox_pred = self.bbox_head(roi_feats)
         scores = jax.nn.softmax(cls_score, -1).reshape(b, r, -1)
         decoded = jax.vmap(
-            lambda rois_i, d: delta2bbox(
+            lambda rois_i, d, wh: delta2bbox(
                 jnp.repeat(rois_i, self.num_classes, axis=0),
-                d.reshape(-1, 4), max_shape=(h, w), stds=REG_STDS,
+                d.reshape(-1, 4), max_shape=(wh[1], wh[0]), stds=REG_STDS,
             ).reshape(r, self.num_classes, 4)
-        )(rois, bbox_pred.reshape(b, r, -1))
+        )(rois, bbox_pred.reshape(b, r, -1), img_wh)
         return scores, decoded
 
     def mask_test(self, img, rois, labels):
@@ -366,11 +371,11 @@ class MaskRCNN(nn.Module):
         cls_score, bbox_pred = self.bbox_head(roi_feats)
         scores = jax.nn.softmax(cls_score, -1).reshape(b, r, -1)
         boxes_c = jax.vmap(
-            lambda rois_i, d: delta2bbox(
+            lambda rois_i, d, wh: delta2bbox(
                 jnp.repeat(rois_i, self.num_classes, axis=0),
-                d.reshape(-1, 4), max_shape=(h, w), stds=REG_STDS,
+                d.reshape(-1, 4), max_shape=(wh[1], wh[0]), stds=REG_STDS,
             ).reshape(r, self.num_classes * 4)
-        )(props.boxes, bbox_pred.reshape(b, r, -1))
+        )(props.boxes, bbox_pred.reshape(b, r, -1), img_wh)
 
         def nms_one(bx, sc, val):
             return multiclass_nms(

@@ -30,8 +30,89 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.sharding import PartitionSpec as P
 
-__all__ = ["attention_with_capture", "attention_no_capture"]
+__all__ = [
+    "attention_with_capture",
+    "attention_no_capture",
+    "attention_with_capture_sharded",
+    "attention_no_capture_sharded",
+]
+
+
+def _current_mesh():
+    """The physical mesh of the enclosing ``with mesh:`` block, or None."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if not m.empty:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def _interpret_default() -> bool:
+    """Interpret-mode default off-mesh: real kernel only on TPU backends."""
+    return jax.default_backend() != "tpu"
+
+
+def _tp_layout(mesh, batch, heads):
+    """(data_axis_or_None, tp) for head-sharded shard_map dispatch."""
+    tp = int(mesh.shape.get("model", 1))
+    if tp <= 1 or heads % tp:
+        return None, 1
+    data = "data" if ("data" in mesh.shape and batch % int(mesh.shape["data"]) == 0) else None
+    return data, tp
+
+
+def attention_with_capture_sharded(q, k, v, use_pallas: bool = True):
+    """TP-composable capture attention.
+
+    When the enclosing mesh has a >1 ``model`` axis that divides the head
+    count, the fused kernel runs under ``shard_map`` with heads sharded on
+    ``model`` (the natural Megatron split of the column-parallel qkv
+    output) and the head-averaged capture reconstructed with one psum.
+    Otherwise this is exactly ``attention_with_capture``. CPU meshes run
+    the kernel in interpret mode (the multi-chip dryrun path).
+    """
+    mesh = _current_mesh()
+    if mesh is None:
+        return attention_with_capture(q, k, v, use_pallas, _interpret_default())
+    data, tp = _tp_layout(mesh, q.shape[0], q.shape[1])
+    if tp == 1:
+        return attention_with_capture(q, k, v, use_pallas, _interpret_default())
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    spec = P(data, "model", None, None)
+
+    def f(ql, kl, vl):
+        out, mean_local = attention_with_capture(ql, kl, vl, use_pallas, interpret)
+        # local mean is over H/tp heads; global mean = psum(local)/tp
+        mean = jax.lax.psum(mean_local / tp, "model")
+        return out, mean
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, P(data, None, None)), check_vma=False,
+    )(q, k, v)
+
+
+def attention_no_capture_sharded(q, k, v, use_pallas: bool = True):
+    """TP-composable plain fused attention (see capture variant)."""
+    mesh = _current_mesh()
+    if mesh is None:
+        return attention_no_capture(q, k, v, use_pallas, _interpret_default())
+    data, tp = _tp_layout(mesh, q.shape[0], q.shape[1])
+    if tp == 1:
+        return attention_no_capture(q, k, v, use_pallas, _interpret_default())
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    spec = P(data, "model", None, None)
+    return jax.shard_map(
+        lambda ql, kl, vl: attention_no_capture(ql, kl, vl, use_pallas, interpret),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
 
 
 def _jnp_reference(q, k, v):
@@ -90,7 +171,7 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
     mean_ref[0] = acc.astype(mean_ref.dtype)
 
 
-def _pallas_forward(q, k, v, tile_q: int = 128):
+def _pallas_forward(q, k, v, tile_q: int = 128, interpret: bool = False):
     b, h, t, d = q.shape
     tpad = ((t + tile_q - 1) // tile_q) * tile_q
     pad = tpad - t
@@ -118,6 +199,7 @@ def _pallas_forward(q, k, v, tile_q: int = 128):
             pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
             pl.BlockSpec((1, tile_q, tpad), lambda bi, qi: (bi, qi, 0)),
         ),
+        interpret=interpret,
     )(qp, kp, vp)
     return out[:, :, :t], mean[:, :t, :t]
 
@@ -129,11 +211,12 @@ def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, t_real):
         out_ref[0, h] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def attention_no_capture(q, k, v, use_pallas: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attention_no_capture(q, k, v, use_pallas: bool = True, interpret: bool = False):
     """Plain fused attention (no probability emission) — for the
     non-capture blocks, whose jnp path otherwise materialises the
-    per-head (T, T) matrix in HBM."""
+    per-head (T, T) matrix in HBM. ``interpret`` runs the kernel in
+    Pallas interpret mode (CPU meshes under shard_map)."""
     if not (use_pallas and q.shape[-1] % 8 == 0):
         return _jnp_reference(q, k, v)[0]
     b, h, t, d = q.shape
@@ -154,23 +237,24 @@ def attention_no_capture(q, k, v, use_pallas: bool = True):
             pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+        interpret=interpret,
     )(q, k, v)
     return out[:, :, :t]
 
 
-def _nc_fwd(q, k, v, use_pallas):
-    return attention_no_capture(q, k, v, use_pallas), (q, k, v)
+def _nc_fwd(q, k, v, use_pallas, interpret):
+    return attention_no_capture(q, k, v, use_pallas, interpret), (q, k, v)
 
 
-def _nc_bwd(use_pallas, res, g_out):
-    return _bwd(use_pallas, res, (g_out, None))
+def _nc_bwd(use_pallas, interpret, res, g_out):
+    return _bwd(use_pallas, interpret, res, (g_out, None))
 
 
 attention_no_capture.defvjp(_nc_fwd, _nc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def attention_with_capture(q, k, v, use_pallas: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attention_with_capture(q, k, v, use_pallas: bool = True, interpret: bool = False):
     """Attention + detached head-averaged probs.
 
     Args:
@@ -180,18 +264,18 @@ def attention_with_capture(q, k, v, use_pallas: bool = True):
         out (B, H, T, d), mean_probs (B, T, T) f32 (stop-gradient).
     """
     if use_pallas and q.shape[-1] % 8 == 0:
-        out, mean = _pallas_forward(q, k, v)
+        out, mean = _pallas_forward(q, k, v, interpret=interpret)
     else:
         out, mean = _jnp_reference(q, k, v)
     return out, jax.lax.stop_gradient(mean)
 
 
-def _fwd(q, k, v, use_pallas):
-    out, mean = attention_with_capture(q, k, v, use_pallas)
+def _fwd(q, k, v, use_pallas, interpret):
+    out, mean = attention_with_capture(q, k, v, use_pallas, interpret)
     return (out, mean), (q, k, v)
 
 
-def _bwd(use_pallas, res, grads):
+def _bwd(use_pallas, interpret, res, grads):
     q, k, v = res
     # matmul operands stay in the storage dtype (bf16 on TPU) with f32
     # accumulation; softmax math is f32

@@ -19,9 +19,10 @@ ViT-decoder RoI heads alike). A dimension that does not divide the
 ``model`` axis falls back to replication, so uneven heads degrade
 gracefully instead of failing placement.
 
-Note: the fused pallas attention kernels are not shard_map-partitioned
-yet; run TP with the XLA attention path (``use_pallas_attention=False``)
-or a 1-sized model axis until then.
+The fused pallas attention kernels compose with TP via
+``ops.attention.attention_*_sharded``: under an active mesh with a >1
+``model`` axis they run inside ``shard_map`` with heads sharded on
+``model`` and the head-averaged capture reconstructed with one psum.
 """
 
 from __future__ import annotations

@@ -134,6 +134,30 @@ def test_simple_test(model_and_params):
     assert (bx >= 0).all() and (bx[..., 2] <= W).all() and (bx[..., 3] <= H).all()
 
 
+def test_roi_and_simple_test_share_clip_semantics(model_and_params):
+    """Both inference paths clip decoded boxes to the TRUE image extent
+    (mmdet ``img_shape``), never the padded canvas — the round-1 paths
+    diverged (padded-frame clip in roi_test vs img_wh in simple_test)."""
+    model, params = model_and_params
+    img, _, _, _, _ = _inputs(4)
+    wh = jnp.asarray([[100.0, 80.0]])  # true extent < 128x128 canvas
+    rois = jnp.asarray([[[10.0, 10.0, 120.0, 120.0], [0.0, 0.0, 60.0, 60.0]]])
+
+    _, decoded = jax.jit(
+        lambda p, i, r, w: model.apply(p, i, r, w, method=AttnShiftDetector.roi_test)
+    )(params, img, rois, wh)
+    bx = np.asarray(decoded)
+    assert (bx >= 0).all()
+    assert (bx[..., 0::2] <= 100.0).all() and (bx[..., 1::2] <= 80.0).all()
+
+    out = jax.jit(
+        lambda p, i, w: model.apply(p, i, w, method=AttnShiftDetector.simple_test)
+    )(params, img, wh)
+    dbx = np.asarray(out.dets.boxes)
+    assert (dbx >= 0).all()
+    assert (dbx[..., 0::2] <= 100.0).all() and (dbx[..., 1::2] <= 80.0).all()
+
+
 def test_aug_test(model_and_params):
     from attentionshift_tpu.eval.aug_test import AugTester
 

@@ -257,6 +257,47 @@ def test_tensor_parallel_matches_single_device():
         )
 
 
+@pytest.mark.slow
+def test_pallas_attention_tp_sharded_matches_plain():
+    """The fused attention kernels compose with TP: under a dp2 x tp2
+    mesh the shard_map'd kernel (heads on ``model``, psum'd capture mean)
+    equals the unsharded jnp reference, forward and backward."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from attentionshift_tpu.ops.attention import (
+        attention_no_capture_sharded,
+        attention_with_capture,
+        attention_with_capture_sharded,
+    )
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 6, 40, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 6, 40, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 6, 40, 16), jnp.float32)
+    ref_out, ref_mean = attention_with_capture(q, k, v, False)
+    ref_gq = jax.grad(lambda q: attention_with_capture(q, k, v, False)[0].sum())(q)
+
+    mesh = make_mesh(jax.devices("cpu")[:4], model=2)  # dp2 x tp2
+    with mesh:
+        sh = NamedSharding(mesh, P("data", "model"))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        out, mean = jax.jit(
+            lambda q, k, v: attention_with_capture_sharded(q, k, v, True)
+        )(qs, ks, vs)
+        out_nc = jax.jit(
+            lambda q, k, v: attention_no_capture_sharded(q, k, v, True)
+        )(qs, ks, vs)
+        gq = jax.jit(jax.grad(
+            lambda q: attention_with_capture_sharded(q, ks, vs, True)[0].sum()
+        ))(qs)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_nc), np.asarray(ref_out), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(ref_gq), rtol=2e-4, atol=2e-5)
+
+
 def test_tp_indivisible_dims_fall_back_to_replication():
     from jax.sharding import PartitionSpec as P
 
