@@ -114,6 +114,7 @@ def masks_and_centers(
     num_semantic_points: int = 5,
     map_stride: int = 1,
     img_hw: tuple[int, int] | None = None,
+    points_override: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> PseudoLabels:
     """Stages B+C for one image.
 
@@ -130,6 +131,9 @@ def masks_and_centers(
             in one final pass. ``map_stride=1`` is bit-exact reference
             semantics.
         img_hw: full-res (H, W); required when ``map_stride > 1``.
+        points_override: forwarded to ``cosine_similarity_refined_map``
+            — parity tests drive both implementations from identical
+            Stage-B seed points.
     """
     k_refine, k_points = jax.random.split(rng)
     g = best_cams.shape[0]
@@ -138,6 +142,7 @@ def masks_and_centers(
         k_refine, best_cams, vit_feat, boxes, gt_points, valid,
         thr_pos=0.2, thr_neg=0.1, num_points=20,
         refine_times=refine_times, obj_tau=obj_tau, stride=map_stride,
+        points_override=points_override,
     )
     map_fg_full = maps.map_fg
     if map_stride > 1:

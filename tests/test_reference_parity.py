@@ -525,3 +525,149 @@ def test_point_coords_wrt_box_parity(ref):
     want = r.get_point_coords_wrt_box(_t(boxes), _t(pts)).numpy()
     got = np.asarray(point_coords_wrt_box(_j(boxes), _j(pts)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Composed pipeline: Stage A -> B -> C end-to-end (frozen-fixture pack)
+
+
+@pytest.mark.slow
+def test_composed_seed_pipeline_parity(ref):
+    """The COMPOSED seed_pseudo_gt chain, reference vs ours.
+
+    Earlier tests verify each stage in isolation; this one threads one
+    set of structured attention maps through the full engine on both
+    sides — rollout -> CAM slice/upsample -> CCL box extraction ->
+    (fixed MIL choice) -> Stage-B refined maps -> binary pseudo masks ->
+    Stage-C semantic centers — composing the extracted reference
+    functions exactly as ``seed_pseudo_gt`` does
+    (`stdroi:2259-2363`, `get_cosine_similarity_refined_map:1000-1019`,
+    `get_semantic_centers:1995-2031`) against our composed engine
+    (``attention_rollout_point_rows`` -> ``candidate_boxes`` ->
+    ``masks_and_centers``). The only injected noise source is the
+    Stage-B seed sampling, which the reference performs (torch RNG) and
+    both sides then share via ``points_override``.
+    """
+    r, _ = ref
+    from attentionshift_tpu.ops.image import resize
+    from attentionshift_tpu.pseudo.engine import candidate_boxes, masks_and_centers
+    from attentionshift_tpu.pseudo.rollout import attention_rollout_point_rows
+
+    rng = np.random.RandomState(11)
+    L, P, G, D = 4, 10, 3, 16
+    Hp = Wp = 12
+    H, W = Hp * 16, Wp * 16
+    N = Hp * Wp
+    T = 1 + N + P
+
+    # --- structured attention: the assigned point tokens' rows carry a
+    # gaussian blob over the patch grid; everything else is noise
+    assigned = np.asarray([1, 4, 7], np.int64)
+    blob_rc = [(3, 3), (8, 4), (5, 9)]  # patch-grid (row, col) per gt
+    yy, xx = np.mgrid[0:Hp, 0:Wp]
+    attns = np.zeros((L, 1, T, T), np.float32)
+    for l in range(L):
+        logits = rng.randn(T, T).astype(np.float32) * 0.3
+        for g, (br, bc) in enumerate(blob_rc):
+            bump = 6.0 * np.exp(-((yy - br) ** 2 + (xx - bc) ** 2) / (2 * 2.2**2))
+            logits[1 + N + assigned[g], 1 : 1 + N] += bump.reshape(-1)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        attns[l, 0] = e / e.sum(-1, keepdims=True)
+
+    gt_points = np.asarray(
+        [[bc * 16 + 8.0, br * 16 + 8.0] for br, bc in blob_rc], np.float32
+    )  # full-res xy at the blob centres
+    gt_labels = np.asarray([2, 5, 9], np.int64)
+
+    # features: shared direction + per-blob-region parts (keeps the
+    # reference's softmax out of deep subnormals, see cosine_shift test)
+    base = rng.randn(D, 1, 1).astype(np.float32)
+    feats = (base + 0.3 * rng.randn(D, Hp, Wp)).astype(np.float32)
+    for br, bc in blob_rc:
+        feats[:, max(br - 2, 0) : br + 1, max(bc - 2, 0) : bc + 1] += (
+            0.5 * rng.randn(D, 1, 1).astype(np.float32)
+        )
+        feats[:, br : br + 3, bc : bc + 3] += 0.5 * rng.randn(D, 1, 1).astype(
+            np.float32
+        )
+
+    # ---------------- reference chain
+    joint = r.attns_project_to_feature(list(_t(attns)))  # (B, L, T, T)
+    rows_ref = joint[0][:, -P:, 1 : 1 + N]  # (L, P, N)
+    cams_ref = rows_ref[:, torch.from_numpy(assigned), :].reshape(L * G, 1, Hp, Wp)
+    cams_up_ref = F.interpolate(
+        cams_ref, (H, W), mode="bilinear"
+    ).reshape(L, G, H, W)
+    boxes_ref = np.zeros((G, L, 4), np.float32)
+    for l in range(L):
+        for g in range(G):
+            bb, _ = r.get_bbox_from_cam_fast(
+                cams_up_ref[l, g].clone(), _t(gt_points[g]), cam_thr=0.2,
+                area_ratio=0.5, img_size=(H, W), box_method="expand",
+            )
+            boxes_ref[g, l] = bb[0].numpy()
+
+    best_idx = np.asarray([0, 2, 1])  # stand-in for the (learned) MIL pick
+    best_boxes_ref = boxes_ref[np.arange(G), best_idx]  # (G, 4)
+    best_cams_ref = torch.stack(
+        [cams_up_ref[best_idx[g], g] for g in range(G)]
+    )  # (G, H, W)
+
+    torch.manual_seed(0)
+    gt_points_yx = _t(gt_points[:, ::-1].copy())  # sampler uses (y, x) pre-flip
+    ref_fg, ref_bg, pts_fg, pts_bg, *_ = r.get_cosine_similarity_refined_map(
+        best_cams_ref.clone(), _t(feats), _t(best_boxes_ref),
+        thr_pos=0.2, thr_neg=0.1, num_points=20, refine_times=2, obj_tau=0.9,
+        gt_points=gt_points_yx,
+    )
+    ref_masks = (ref_fg[-1] > 0.35).numpy().astype(np.uint8)  # `stdroi:2356-2358`
+
+    shim = types.SimpleNamespace()
+    shim.mean_shift_grid_prototype = types.MethodType(
+        r.mean_shift_grid_prototype, shim
+    )
+    outs = r.get_semantic_centers(
+        shim, ref_fg[-1].clone(), ref_bg[-1].clone(), _t(best_boxes_ref), _t(feats),
+        pos_thr=0.35, refine_times=10, gt_labels=torch.from_numpy(gt_labels),
+        merge_thr=0.85, num_semantic_points=5,
+    )
+    coords_org, corres_gt = outs[6], outs[8]
+
+    # ---------------- our composed engine
+    rollout = attention_rollout_point_rows(_j(attns), P)  # (L, B, P, T)
+    cand, cams_patch = candidate_boxes(
+        rollout[:, 0], jnp.asarray(assigned), _j(gt_points), (Hp, Wp), (H, W),
+        seed_thr=0.2, seed_multiple=0.5, cam_stride=1, ccl_iters=256,
+    )
+    np.testing.assert_allclose(np.asarray(cand), boxes_ref, rtol=1e-4, atol=1e-3)
+
+    best_cams_patch = jnp.stack(
+        [cams_patch[best_idx[g], g] for g in range(G)]
+    )
+    best_cams = resize(best_cams_patch, (H, W))
+    np.testing.assert_allclose(
+        np.asarray(best_cams), best_cams_ref.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+    pl = masks_and_centers(
+        jax.random.PRNGKey(0), best_cams, _j(feats), _j(best_boxes_ref),
+        _j(gt_points), jnp.asarray(gt_labels), jnp.ones((G,), bool),
+        pos_mask_thr=0.35, refine_times=2, obj_tau=0.9, mean_shift_times=10,
+        num_semantic_points=5, map_stride=1, img_hw=(H, W),
+        points_override=(_j(pts_fg.numpy()), _j(pts_bg.numpy())),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(pl.map_fg), ref_fg[-1].numpy(), rtol=1e-4, atol=1e-5
+    )
+    # masks: allow boundary-pixel flips from float noise at the threshold
+    mask_diff = np.abs(
+        np.asarray(pl.pseudo_masks, np.float32) - ref_masks.astype(np.float32)
+    ).mean()
+    assert mask_diff < 1e-3, mask_diff
+
+    for g in range(G):
+        want = coords_org.numpy()[corres_gt.numpy() == g]
+        got = np.asarray(pl.centers.coords[g])[np.asarray(pl.centers.part_valid[g])]
+        assert got.shape == want.shape, f"instance {g}: {got.shape} vs {want.shape}"
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)

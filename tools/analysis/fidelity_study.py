@@ -86,7 +86,7 @@ def train_params(steps: int):
     """Partially train the flagship model so attention is structured."""
     model = AttnShiftDetector(
         **BASE, **FAST, use_pallas_attention=True, use_pallas_ccl=True,
-        use_remat=True, dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
     data = [make_sample(rng, i) for i in range(8)]
@@ -118,7 +118,7 @@ def train_params(steps: int):
 
 
 def seed_fn(overrides):
-    model = AttnShiftDetector(**BASE, **overrides, use_remat=True, dtype=jnp.float32)
+    model = AttnShiftDetector(**BASE, **overrides, dtype=jnp.float32)
 
     @jax.jit
     def run(params, img, pts, lbl, val, wh):
