@@ -451,6 +451,7 @@ class AttnShiftDetector(nn.Module):
                 cams=cams_patch,
                 best_cams=best_cams_patch,
                 token_of_gt=token_of_gt,
+                vit_feat=vit_feat,
             )
             return assigned, pseudo_boxes, best_idx, mil_loss, pl, dbg
         return assigned, pseudo_boxes, best_idx, mil_loss, pl
