@@ -32,6 +32,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.sharding import PartitionSpec as P
 
+try:  # pallas TPU compiler knobs (absent on pure-CPU jax builds)
+    from jax.experimental.pallas import tpu as pltpu
+
+    # all-head-resident K/V plus f32 logits/probs/acc temps sit right at
+    # the default 16 MB scoped-vmem budget at the bench shape (T=4352);
+    # raise the cap so the compiler stops spilling/refusing the stack
+    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+except Exception:  # pragma: no cover
+    _COMPILER_PARAMS = None
+
 __all__ = [
     "attention_with_capture",
     "attention_no_capture",
@@ -135,25 +145,51 @@ def _jnp_reference(q, k, v):
     return out, probs.mean(axis=1).astype(q.dtype)
 
 
-def _head_attn(q, k, v, t_real):
-    """One head's attention for a q tile; probs returned in f32.
+# Constant logit shift replacing the per-row max subtraction. Softmax is
+# shift-invariant, so any constant is EXACT mathematically; numerically
+# f32 exp overflows at ~88, so with this shift logits are safe up to
+# ~108 — far beyond anything a d^-0.5-scaled LN'd ViT produces (|logit|
+# <~ 40 in trained models). Dropping the max pass removes a full-width
+# VPU reduction per (head, tile).
+_SOFTMAX_SHIFT = 20.0
+
+
+def _pad_bias(t_pad, t_real):
+    """(1, t_pad) additive bias: -shift on real columns, -1e30 on padding.
+
+    Computed once per q-tile and broadcast-added — the per-head
+    iota+compare+select over the full (TQ, Tpad) tile was 3 VPU passes
+    x num_heads; this is one add per head. exp(logit - 1e30) == 0
+    implements the pad mask for free inside the softmax.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+    return jnp.where(col < t_real, -_SOFTMAX_SHIFT, -1e30).astype(jnp.float32)
+
+
+def _head_attn(q, k, v, bias, fold_div: bool):
+    """One head's attention for a q tile.
 
     Operands stay in their storage dtype (bf16 on the bench path) so the
-    MXU runs at native rate; accumulation is f32.
+    MXU runs at native rate; accumulation is f32. With ``fold_div`` the
+    softmax denominator is applied to the (TQ, d) output instead of the
+    (TQ, Tpad) probabilities — one full-width VPU pass saved — and the
+    returned probs are UNNORMALISED (caller must scale by recip).
     """
     d = q.shape[-1]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (d**-0.5)  # (TQ, Tpad)
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < t_real, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
+    ) * (d**-0.5) + bias  # (TQ, Tpad)
+    e = jnp.exp(logits)
+    recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (TQ, 1)
+    p = e if fold_div else e * recip
     out = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return out, probs
+    if fold_div:
+        out = out * recip
+    return out, e, recip
 
 
 def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
@@ -162,11 +198,16 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
     # element and stay VMEM-resident across every q tile — the grid
     # formulation with heads as a grid axis re-fetched the full K/V per
     # (q-tile, head), ~17x more HBM traffic at the bench shape.
+    bias = _pad_bias(k_ref.shape[2], t_real)
     acc = None
     for h in range(num_heads):
-        out, probs = _head_attn(q_ref[0, h], k_ref[0, h], v_ref[0, h], t_real)
+        out, e, recip = _head_attn(
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], bias, fold_div=True
+        )
         out_ref[0, h] = out.astype(out_ref.dtype)
-        contrib = probs * (1.0 / num_heads)
+        # normalise while accumulating: e * (recip / H) is one multiply,
+        # the same cost the plain softmax division would have paid
+        contrib = e * (recip * (1.0 / num_heads))
         acc = contrib if acc is None else acc + contrib
     mean_ref[0] = acc.astype(mean_ref.dtype)
 
@@ -200,14 +241,18 @@ def _pallas_forward(q, k, v, tile_q: int = 128, interpret: bool = False):
             pl.BlockSpec((1, tile_q, tpad), lambda bi, qi: (bi, qi, 0)),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(qp, kp, vp)
     return out[:, :, :t], mean[:, :t, :t]
 
 
 def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, t_real):
     # same resident-K/V head loop as ``_kernel`` (see comment there)
+    bias = _pad_bias(k_ref.shape[2], t_real)
     for h in range(num_heads):
-        out, _ = _head_attn(q_ref[0, h], k_ref[0, h], v_ref[0, h], t_real)
+        out, _, _ = _head_attn(
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], bias, fold_div=True
+        )
         out_ref[0, h] = out.astype(out_ref.dtype)
 
 
@@ -238,6 +283,7 @@ def attention_no_capture(q, k, v, use_pallas: bool = True, interpret: bool = Fal
         ],
         out_specs=pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(q, k, v)
     return out[:, :, :t]
 
