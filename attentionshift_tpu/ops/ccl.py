@@ -182,12 +182,20 @@ def _batch_sweep_body(fg, big):
     return sweep
 
 
-def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters):
-    fg = fg_ref[...] != 0  # (M, H, W)
+def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters, transposed=False):
+    fg = fg_ref[...] != 0  # (M, H, W) — or (M, W, H) when transposed
     m, h, w = fg.shape
     big = jnp.int32(2**30)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 1) * w + \
-        jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 2)
+    if transposed:
+        # maps arrive as (M, W_orig, H_orig): axis1 = original x, axis2 =
+        # original y. Labels must stay min-ORIGINAL-flat-index (+1) for
+        # cc_torch parity: orig_flat = y * W_orig + x, and W_orig is this
+        # array's axis-1 extent (named h in kernel-local terms).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 2) * h + \
+            jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 1)
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 1) * w + \
+            jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 2)
     init = jnp.where(fg, iota, big)
     sweep = _batch_sweep_body(fg, big)
 
@@ -226,6 +234,18 @@ def connected_components_batch(
     from jax.experimental import pallas as pl
 
     m, h, w = masks.shape
+    # lane layout: last axis pads to 128 lanes, second-to-last to 8
+    # sublanes. When the transposed orientation wastes less padded area
+    # (e.g. 100x168 -> 104x256 = 26.6k cells vs 168x128 = 21.5k), run the
+    # kernel on transposed maps — the 8-conn sweep is transpose-invariant
+    # and the kernel's iota keeps original-flat-index label semantics.
+    def padded(a, b):
+        return ((a + 7) // 8 * 8) * ((b + 127) // 128 * 128)
+
+    transposed = padded(w, h) < padded(h, w)
+    if transposed:
+        masks = masks.transpose(0, 2, 1)
+        h, w = w, h
     # tile the map axis: each grid program converges its own chunk in
     # VMEM (sized to stay under the scoped-vmem limit with temporaries)
     w_lanes = (w + 127) // 128 * 128  # lane padding
@@ -241,10 +261,14 @@ def connected_components_batch(
     if pad_m != m:
         x = jnp.pad(x, ((0, pad_m - m), (0, 0), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_ccl_batch_kernel, max_iters=max_iters),
+        functools.partial(
+            _ccl_batch_kernel, max_iters=max_iters, transposed=transposed
+        ),
         grid=(pad_m // tile,),
         in_specs=[pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((pad_m, h, w), jnp.int32),
     )(x)
+    if transposed:
+        out = out.transpose(0, 2, 1)
     return out[:m]

@@ -115,13 +115,26 @@ def bbox_from_labels_batch(
     k, h, w = labels.shape
     n = h * w
     flat = labels.reshape(k, n)
-    xs = jnp.broadcast_to(
-        jnp.arange(w, dtype=jnp.int32)[None, None, :], (k, h, w)
-    ).reshape(k, n)
-    ys = jnp.broadcast_to(
-        jnp.arange(h, dtype=jnp.int32)[None, :, None], (k, h, w)
-    ).reshape(k, n)
-    sl, sx, sy = jax.lax.sort((flat, xs, ys), dimension=1, num_keys=1)
+    if n <= (1 << 15):
+        # pack (label, flat position) into ONE int32 sort key: labels are
+        # min-flat-index+1 <= n and positions < n, so label<<15 | pos fits
+        # in 31 bits whenever n <= 2^15 (always true at the default
+        # cam_stride; the stride-1 exact path takes the 3-operand sort
+        # below). One operand through the sort network instead of three.
+        pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (k, n))
+        key = jax.lax.sort(flat * (1 << 15) + pos, dimension=1)
+        sl = key >> 15
+        spos = key & ((1 << 15) - 1)
+        sx = spos % w
+        sy = spos // w
+    else:
+        xs = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.int32)[None, None, :], (k, h, w)
+        ).reshape(k, n)
+        ys = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.int32)[None, :, None], (k, h, w)
+        ).reshape(k, n)
+        sl, sx, sy = jax.lax.sort((flat, xs, ys), dimension=1, num_keys=1)
 
     start = jnp.concatenate(
         [jnp.ones((k, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1

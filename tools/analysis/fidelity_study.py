@@ -68,14 +68,20 @@ EXACT = dict(cam_stride=1, seed_map_stride=1, ccl_iters=256)
 def make_sample(rng, i):
     img = rng.randn(H, W, 3).astype(np.float32) * 0.1
     pts, lbls = [], []
+    yy, xx = np.mgrid[:H, :W]
     for j in range(2):
         cx, cy = rng.randint(100, 412), rng.randint(100, 412)
         r = rng.randint(40, 90)
-        yy, xx = np.mgrid[:H, :W]
-        blob = ((xx - cx) ** 2 + (yy - cy) ** 2) < r * r
+        # two-lobed instance: overlapping discs with distinct tones give
+        # the mean-shift engine actual part structure to find (uniform
+        # discs collapse to a single prototype -> no semantic centers)
+        dx = int(r * 0.8)
+        lobe_a = ((xx - cx + dx) ** 2 + (yy - cy) ** 2) < r * r
+        lobe_b = ((xx - cx - dx) ** 2 + (yy - cy) ** 2) < (0.8 * r) ** 2
         color = np.zeros(3)
         color[(i + j) % 3] = 2.5
-        img[blob] += color
+        img[lobe_a] += color
+        img[lobe_b] += np.roll(color, 1) * 0.8 + color * 0.4
         pts.append([cx, cy])
         lbls.append((i + j) % 3)
     g_pts = np.zeros((G, 2), np.float32); g_pts[:2] = pts
@@ -167,11 +173,14 @@ class Acc:
 
     def __init__(self):
         self.iou, self.miou, self.drift, self.corr, self.agree = [], [], [], [], []
+        self.nctr_a, self.nctr_b = [], []
 
     def add(self, ra, rb, val):
         for gi in range(G):
             if not val[gi]:
                 continue
+            self.nctr_a.append(int(ra["semantic_centers_valid"][0, gi].sum()))
+            self.nctr_b.append(int(rb["semantic_centers_valid"][0, gi].sum()))
             self.iou.append(box_iou(ra["pseudo_gt_bboxes"][0, gi],
                                     rb["pseudo_gt_bboxes"][0, gi]))
             ma = ra["pseudo_gt_masks"][0, gi] > 0.5
@@ -200,6 +209,14 @@ class Acc:
             mil_layer_agreement=(round(float(np.mean(self.agree)), 4)
                                  if self.agree else None),
             semantic_center_drift_px=pct(self.drift, (50, 90, 100)),
+            # mean valid semantic centers per instance on each side — when
+            # 0, drift percentiles are null because there is nothing to
+            # match (the engine found no parts on this corpus), not
+            # because the comparison failed
+            centers_per_instance=[
+                round(float(np.mean(self.nctr_a)), 3) if self.nctr_a else 0.0,
+                round(float(np.mean(self.nctr_b)), 3) if self.nctr_b else 0.0,
+            ],
             map_fg_correlation=pct(self.corr, (10, 50)),
             n=len(self.iou),
         )
@@ -375,6 +392,11 @@ def main():
         row("end-to-end", report["end_to_end"]),
         row("noise floor (exact vs exact)", report["sampling_noise_floor"]),
         row("isolated stride", report["isolated_stride"]),
+        "",
+        "Mean valid semantic centers per instance (fast / exact): "
+        f"{report['end_to_end']['centers_per_instance'][0]} / "
+        f"{report['end_to_end']['centers_per_instance'][1]} — null drift "
+        "cells mean no valid centers existed to match on this corpus.",
         "",
         f"Stage-A candidate-box IoU across all layers (isolated, stride 8 vs 1): "
         f"p10/p50/p90 = {iso['stage_a_box_iou_all_layers']['p10']} / "
