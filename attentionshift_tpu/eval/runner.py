@@ -97,6 +97,7 @@ def evaluate(
     process_index: int = 0,
     process_count: int = 1,
     gather_dir: str | None = None,
+    dump_path: str | None = None,
 ) -> dict | None:
     """Single-scale (or aug-test) inference + dataset-appropriate metric.
 
@@ -178,6 +179,19 @@ def evaluate(
         rank = np.argsort(order)
         preds = {k: [v[j] for j in rank] for k, v in preds.items()}
         gts = {k: [v[j] for j in rank] for k, v in gts.items()}
+
+    if dump_path:
+        # raw per-image predictions + gts, recomputable offline with
+        # tools/analysis/eval_metric.py (the reference's eval_metric.py
+        # over a results pickle) or inspected with analyze_results.py
+        import pickle
+
+        with open(dump_path, "wb") as f:
+            pickle.dump(
+                dict(preds=preds, gts=gts, is_coco=is_coco,
+                     num_classes=num_classes),
+                f,
+            )
 
     if is_coco:
         res = coco_segm_eval(

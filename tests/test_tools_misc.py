@@ -1,0 +1,180 @@
+"""Tests for the tool surface added for reference CLI parity:
+dataset converter, offline eval_metric, analyze_results, print_config,
+and the launcher env-var contract."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+@pytest.fixture(scope="module")
+def voc_seg_tree(tmp_path_factory):
+    """VOC tree with palette segmentation pngs for the converter."""
+    root = tmp_path_factory.mktemp("VOCconv")
+    for sub in ("JPEGImages", "SegmentationObject", "SegmentationClass"):
+        (root / sub).mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    palette = []
+    for i in range(256):
+        palette += [i, (i * 37) % 256, (i * 91) % 256]
+    rng = np.random.RandomState(0)
+    ids = []
+    for i in range(2):
+        h, w = 60, 80
+        name = f"2012_{i:06d}"
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{name}.jpg"
+        )
+        obj = np.zeros((h, w), np.uint8)
+        cls = np.zeros((h, w), np.uint8)
+        # instance 1: rectangle, class 2 (bicycle); instance 2: class 5
+        obj[10:30, 10:40] = 1
+        cls[10:30, 10:40] = 2
+        obj[35:55, 50:70] = 2
+        cls[35:55, 50:70] = 5
+        # ignore border around instance 1
+        obj[9, 9:41] = 255
+        cls[9, 9:41] = 255
+        for sub, a in (("SegmentationObject", obj), ("SegmentationClass", cls)):
+            im = Image.fromarray(a, mode="P")
+            im.putpalette(palette)
+            im.save(root / sub / f"{name}.png")
+        ids.append(name)
+    (root / "ImageSets" / "Segmentation" / "train.txt").write_text(
+        "\n".join(ids) + "\n"
+    )
+    return root
+
+
+def test_pascal_voc_converter(voc_seg_tree, tmp_path):
+    out = tmp_path / "points.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/dataset_converters/pascal_voc.py"),
+         "--voc-root", str(voc_seg_tree), "--split", "train", "--out", str(out)],
+        capture_output=True, text=True, env=ENV, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    d = json.loads(out.read_text())
+    assert len(d["images"]) == 2
+    assert len(d["annotations"]) == 4  # 2 instances per image
+    assert len(d["categories"]) == 20
+
+    a = d["annotations"][0]
+    # point = mask-bbox centre (voc_instance.py:139 recipe)
+    x, y, w, h = a["bbox"]
+    assert a["point"] == [x + w / 2, y + h / 2]
+    assert a["bbox"] == [10.0, 10.0, 30.0, 20.0]
+    assert a["category_id"] == 2  # class png id 2 -> label 1 -> category 2
+    # RLE decodes back to the drawn rectangle
+    from attentionshift_tpu.native import rle_decode, rle_from_string
+
+    rle = rle_from_string(
+        a["segmentation"]["counts"], a["segmentation"]["size"]
+    )
+    m = rle_decode(rle)
+    assert m.sum() == 20 * 30 and m[10:30, 10:40].all()
+
+    # the training dataset consumes the converter output directly
+    from attentionshift_tpu.data.voc import VOCPointDataset
+
+    ds = VOCPointDataset(str(out), str(voc_seg_tree / "JPEGImages"))
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["points"].shape == (2, 2) and s["labels"].tolist() == [1, 4]
+
+
+@pytest.fixture(scope="module")
+def preds_dump(tmp_path_factory):
+    """Perfect-prediction dump: metric must be 1.0 at every threshold."""
+    h, w = 40, 50
+    m1 = np.zeros((h, w), bool); m1[5:20, 5:25] = True
+    m2 = np.zeros((h, w), bool); m2[25:38, 30:48] = True
+    preds = dict(
+        masks=[np.stack([m1, m2])], labels=[np.asarray([1, 3])],
+        scores=[np.asarray([0.9, 0.8])],
+    )
+    gts = dict(
+        masks=[np.stack([m1, m2])], labels=[np.asarray([1, 3])],
+        crowd=[np.zeros(2, bool)],
+    )
+    p = tmp_path_factory.mktemp("dump") / "preds.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(dict(preds=preds, gts=gts, is_coco=False, num_classes=20), f)
+    return p
+
+
+def test_eval_metric_offline(preds_dump):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/analysis/eval_metric.py"),
+         str(preds_dump), "--iou", "0.5", "0.75"],
+        capture_output=True, text=True, env=ENV, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout)
+    assert res["mAP@0.5"] == pytest.approx(1.0)
+    assert res["mAP@0.75"] == pytest.approx(1.0)
+
+
+def test_analyze_results(preds_dump, voc_seg_tree, tmp_path):
+    # analyze_results needs a val-style dataset; build split over the same ids
+    split = tmp_path / "val.txt"
+    split.write_text("2012_000000\n")
+    # shrink the dump to image sizes matching the tree (60x80)
+    with open(preds_dump, "rb") as f:
+        d = pickle.load(f)
+    m = np.zeros((60, 80), bool); m[10:30, 10:40] = True
+    d["preds"] = dict(masks=[np.stack([m])], labels=[np.asarray([1])],
+                      scores=[np.asarray([0.9])])
+    d["gts"] = dict(masks=[np.stack([m])], labels=[np.asarray([1])],
+                    crowd=[np.zeros(1, bool)])
+    dump2 = tmp_path / "preds2.pkl"
+    with open(dump2, "wb") as f:
+        pickle.dump(d, f)
+    out = tmp_path / "vis"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/analysis/analyze_results.py"),
+         str(dump2), "--dataset-split", str(split),
+         "--voc-root", str(voc_seg_tree), "--out", str(out), "-k", "1"],
+        capture_output=True, text=True, env=ENV, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    pngs = sorted(os.listdir(out))
+    assert any(p.startswith("good_") for p in pngs)
+    assert any(p.startswith("bad_") for p in pngs)
+
+
+def test_print_config(tmp_path):
+    base = tmp_path / "base.py"
+    base.write_text("model = dict(depth=4)\nruntime = dict(seed=0)\n")
+    leaf = tmp_path / "leaf.py"
+    leaf.write_text(
+        f"_base_ = [{str(base)!r}]\nmodel = dict(num_heads=2)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/misc/print_config.py"),
+         str(leaf), "--cfg-options", "model.depth=8"],
+        capture_output=True, text=True, env=ENV, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    cfg = json.loads(r.stdout)
+    assert cfg["model"] == {"depth": 8, "num_heads": 2}
+    assert cfg["runtime"] == {"seed": 0}
+
+
+def test_launcher_env_contract():
+    """dist/slurm launchers export the vars tools/train.py consumes."""
+    train = open(os.path.join(REPO, "tools/train.py")).read()
+    for var in ("JAX_PROCESS_COUNT", "JAX_COORDINATOR", "JAX_PROCESS_ID"):
+        assert var in train
+    slurm = open(os.path.join(REPO, "tools/slurm_train.sh")).read()
+    for var in ("JAX_COORDINATOR", "JAX_PROCESS_COUNT", "JAX_PROCESS_ID"):
+        assert f"export {var}" in slurm

@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--aug-test", action="store_true",
                    help="multi-scale + flip augmented inference (6 scales x2)")
     p.add_argument("--out", default=None, help="dump raw results json")
+    p.add_argument("--dump-preds", default=None, metavar="PKL",
+                   help="dump per-image predictions + gts for offline "
+                        "re-evaluation (tools/analysis/eval_metric.py) or "
+                        "inspection (tools/analysis/analyze_results.py)")
     p.add_argument("--gather-dir", default="/tmp/attnshift_eval_gather",
                    help="shared-FS dir for multi-host prediction gather")
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -125,7 +129,7 @@ def main():
         limit=args.limit, aug_tester=aug_tester,
         num_classes=int(cfg.model.num_classes),
         process_index=jax.process_index(), process_count=jax.process_count(),
-        gather_dir=args.gather_dir,
+        gather_dir=args.gather_dir, dump_path=args.dump_preds,
     )
     if results is None:  # non-zero process of a multi-host eval
         return

@@ -24,7 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 if os.environ.get("JAX_PROCESS_COUNT"):  # multi-host pod: every host runs this
-    jax.distributed.initialize()
+    # TPU pods / SLURM: no-arg initialize() auto-discovers the topology.
+    # Explicit rendezvous (tools/dist_train.sh off-SLURM): JAX_COORDINATOR
+    # =host:port with JAX_PROCESS_ID per process.
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR"],
+            num_processes=int(os.environ["JAX_PROCESS_COUNT"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
 
 jax.config.update(
     "jax_compilation_cache_dir",
