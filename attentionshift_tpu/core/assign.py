@@ -170,11 +170,17 @@ def hungarian_point_assign(
     assigned = jnp.zeros((p,), jnp.int32)
     for _ in range(times):
         masked = jnp.where((assigned > 0)[:, None], big, cost)
-        # pad to square: LSA over (P, G) with P >= G picks one row per col
-        row4col = linear_sum_assignment(masked.T)  # (G,) row index per gt
-        ok = gt_valid & (masked.T[jnp.arange(g), row4col] < big / 2)
-        upd = jnp.zeros((p,), jnp.int32).at[row4col].set(
-            jnp.where(ok, jnp.arange(g, dtype=jnp.int32) + 1, 0)
+        # LSA over (G, P) with P >= G picks one token per gt; invalid gt
+        # rows are skipped inside the solver (each skipped row saves a
+        # whole augmentation) and return -1
+        row4col = linear_sum_assignment(masked.T, row_valid=gt_valid)
+        ok = gt_valid & (row4col >= 0) & (
+            masked.T[jnp.arange(g), jnp.maximum(row4col, 0)] < big / 2
         )
+        # scatter through a p+1 buffer: not-ok rows land in the dropped
+        # slot instead of colliding with a real token index
+        upd = jnp.zeros((p + 1,), jnp.int32).at[
+            jnp.where(ok, row4col, p)
+        ].set(jnp.where(ok, jnp.arange(g, dtype=jnp.int32) + 1, 0))[:p]
         assigned = jnp.where((assigned == 0) & (upd > 0), upd, assigned)
     return assigned

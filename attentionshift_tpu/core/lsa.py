@@ -21,13 +21,23 @@ _INF = jnp.float32(1e30)
 
 
 @jax.jit
-def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+def linear_sum_assignment(
+    cost: jnp.ndarray, row_valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Minimum-cost one-to-one assignment of rows to columns.
 
     Args:
         cost: (n, m) float cost matrix with n <= m. Rows that should not
             participate can carry any constant cost (their matches are
             arbitrary free columns and do not disturb the others).
+        row_valid: optional (n,) bool — rows marked False are skipped
+            entirely (their returned column is arbitrary/unmatched).
+            Since m >= n, constant-cost padding rows never displace a
+            valid row's optimal column, so the valid rows' assignment is
+            the same as running the full matrix — but each skipped row
+            saves a whole augmentation (the per-row Dijkstra dominates
+            the cost of this op on TPU: ~60% of it is padding at the
+            benchmark's 8-valid/20-slot shape).
 
     Returns:
         (n,) int32 column index assigned to each row.
@@ -87,6 +97,14 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
 
         _, p = jax.lax.while_loop(aug_cond, aug_body, (j_free, p))
         return u, v, p
+
+    if row_valid is not None:
+        inner_solve = solve_row
+
+        def solve_row(i, state):  # noqa: F811 — cond-gated wrapper
+            return jax.lax.cond(
+                row_valid[i], lambda: inner_solve(i, state), lambda: state
+            )
 
     u0 = jnp.zeros((n,))
     v0 = jnp.zeros((m,))

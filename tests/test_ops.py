@@ -260,6 +260,29 @@ def test_lsa_matches_scipy(n, m, seed):
     assert len(np.unique(got)) == n  # one-to-one
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lsa_row_valid_skip(seed):
+    """row_valid-skipped solve equals the valid-submatrix optimum."""
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    rng = np.random.RandomState(seed)
+    n, m = 20, 100
+    cost = rng.rand(n, m).astype(np.float32) * 10
+    valid = rng.rand(n) < 0.4
+    valid[0] = True  # at least one
+    got = np.asarray(
+        linear_sum_assignment(jnp.asarray(cost), row_valid=jnp.asarray(valid))
+    )
+    sub = cost[valid]
+    rows, cols = scipy_lsa(sub)
+    vg = got[valid]
+    assert (vg >= 0).all() and len(np.unique(vg)) == valid.sum()
+    assert np.isclose(
+        cost[valid][np.arange(valid.sum()), vg].sum(), sub[rows, cols].sum(),
+        atol=1e-4,
+    )
+
+
 def test_connected_components_batch_fallback_matches_single():
     import numpy as np
     from scipy import ndimage

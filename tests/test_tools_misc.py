@@ -170,6 +170,46 @@ def test_print_config(tmp_path):
     assert cfg["runtime"] == {"seed": 0}
 
 
+def test_corruptions():
+    from attentionshift_tpu.data.corruptions import (
+        CORRUPTIONS, CorruptedDataset, corrupt,
+    )
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    for name in CORRUPTIONS:
+        out = corrupt(img, name, 3)
+        assert out.shape == img.shape and out.dtype == np.uint8, name
+        # deterministic given (img, severity, seed)
+        assert np.array_equal(out, corrupt(img, name, 3)), name
+        # actually does something
+        assert not np.array_equal(out, img), name
+    # noise magnitude grows with severity
+    e1 = np.abs(corrupt(img, "gaussian_noise", 1).astype(int) - img).mean()
+    e5 = np.abs(corrupt(img, "gaussian_noise", 5).astype(int) - img).mean()
+    assert e5 > e1
+    with pytest.raises(ValueError):
+        corrupt(img, "gaussian_noise", 6)
+
+    class DS:
+        num_classes = 20
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return dict(img=img, img_id="x")
+
+        def gt_instances(self, i):
+            return dict(masks=np.zeros((0, 48, 64), bool),
+                        labels=np.zeros((0,), np.int64))
+
+    cd = CorruptedDataset(DS(), "contrast", 2)
+    assert len(cd) == 1 and cd.num_classes == 20
+    assert not np.array_equal(cd[0]["img"], img)
+    assert cd.gt_instances(0)["masks"].shape == (0, 48, 64)
+
+
 def test_launcher_env_contract():
     """dist/slurm launchers export the vars tools/train.py consumes."""
     train = open(os.path.join(REPO, "tools/train.py")).read()
