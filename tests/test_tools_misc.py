@@ -170,6 +170,49 @@ def test_print_config(tmp_path):
     assert cfg["runtime"] == {"seed": 0}
 
 
+def test_error_analysis(tmp_path):
+    """Synthetic dump with one of each error type; counts must match."""
+    h, w = 40, 60
+
+    def m(y, x, s=10):
+        a = np.zeros((h, w), bool)
+        a[y:y + s, x:x + s] = True
+        return a
+
+    g1, g2 = m(2, 2), m(25, 40)
+    preds = dict(
+        masks=[np.stack([
+            m(2, 2),          # correct (class 0, IoU 1 with g1)
+            m(4, 4),          # dup/loc vs g1 — scored lower, IoU 0.47 -> loc
+            m(25, 40),        # cls error: right place, wrong class
+            m(2, 45),         # bg: overlaps nothing
+        ])],
+        labels=[np.asarray([0, 0, 3, 1])],
+        scores=[np.asarray([0.9, 0.8, 0.7, 0.6])],
+    )
+    gts = dict(
+        masks=[np.stack([g1, g2])],
+        labels=[np.asarray([0, 5])],  # g2's class 5 never predicted -> missed
+        crowd=[np.zeros(2, bool)],
+    )
+    dump = tmp_path / "d.pkl"
+    with open(dump, "wb") as f:
+        pickle.dump(dict(preds=preds, gts=gts, is_coco=False, num_classes=20), f)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/analysis/error_analysis.py"),
+         str(dump)],
+        capture_output=True, text=True, env=ENV, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout)
+    assert rep["totals"]["correct"] == 1
+    assert rep["totals"]["loc"] == 1
+    assert rep["totals"]["cls"] == 1
+    assert rep["totals"]["bg"] == 1
+    assert rep["totals"]["missed"] == 1
+    assert rep["recall"] == 0.5
+
+
 def test_corruptions():
     from attentionshift_tpu.data.corruptions import (
         CORRUPTIONS, CorruptedDataset, corrupt,
