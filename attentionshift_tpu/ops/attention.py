@@ -184,8 +184,21 @@ def _head_attn(q, k, v, bias, fold_div: bool):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * (d**-0.5 * _LOG2E) + bias  # (TQ, Tpad), log2-domain
-    e = jnp.exp2(logits)
-    recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (TQ, 1)
+    # Extreme-logit guards (both exact for any sane model; without them
+    # a DIVERGING model feeds inf/NaN back into training, which plain
+    # softmax's row-max subtraction would have absorbed — observed as
+    # pallas-only NaN at step ~500 of the toy overfit run while the XLA
+    # path stayed finite):
+    # - overflow: exp2 overflows at 2^128; shifted logits of a sane
+    #   model stay < 60, so min() is inert until |logit| ~ 70;
+    # - underflow: a row whose max logit is < ~-73 underflows the whole
+    #   sum to 0 and 1/sum to inf; max() keeps it finite (softmax row
+    #   degrades to garbage-but-finite exactly when the model already
+    #   produces garbage).
+    e = jnp.exp2(jnp.minimum(logits, 100.0))
+    recip = 1.0 / jnp.maximum(
+        jnp.sum(e, axis=-1, keepdims=True), 1e-30
+    )  # (TQ, 1)
     p = e if fold_div else e * recip
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),

@@ -165,8 +165,18 @@ def build_optimizer(
     warmup_ratio: float = 1e-3,
     accumulate_steps: int = 2,
     grad_clip: float | None = None,
+    skip_nonfinite: int | None = 100,
 ) -> optax.GradientTransformation:
-    """The full train-recipe optimizer as one optax transformation."""
+    """The full train-recipe optimizer as one optax transformation.
+
+    ``skip_nonfinite``: steps whose gradients contain inf/NaN are skipped
+    (parameters and optimizer state untouched) up to this many times in a
+    row — the TPU-native analog of apex AMP's overflow-skip behaviour
+    (`mmdet/utils/optimizer.py:10-38` relies on ``amp.scale_loss``
+    rejecting overflowed steps); the reference's fp16 path silently
+    survives transient spikes this way while a bare bf16 optimizer would
+    poison the parameters. ``None`` disables the guard.
+    """
     sched = step_lr_schedule(
         base_lr, steps_per_epoch, decay_epochs, warmup_iters=warmup_iters,
         warmup_ratio=warmup_ratio,
@@ -183,6 +193,8 @@ def build_optimizer(
     tx = optax.chain(*chain)
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    if skip_nonfinite is not None:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     return tx
 
 
@@ -198,11 +210,13 @@ def build_sgd_optimizer(
     accumulate_steps: int = 1,
     grad_clip: float | None = None,
     frozen_stages: int = 1,
+    skip_nonfinite: int | None = 100,
 ) -> optax.GradientTransformation:
     """Stock detection recipe (mmdet ``SGD momentum=0.9 wd=1e-4`` +
     `schedule_1x`), for the Mask R-CNN refinement stage.
     ``frozen_stages`` must match the backbone's so frozen params are
-    excluded from weight decay (their grads are already zero)."""
+    excluded from weight decay (their grads are already zero).
+    ``skip_nonfinite``: see ``build_optimizer``."""
     sched = step_lr_schedule(
         base_lr, steps_per_epoch, decay_epochs, warmup_iters=warmup_iters,
         warmup_ratio=warmup_ratio,
@@ -220,4 +234,6 @@ def build_sgd_optimizer(
     tx = optax.chain(*chain)
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    if skip_nonfinite is not None:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     return tx

@@ -85,6 +85,25 @@ def test_multisteps_accumulation():
     assert not np.allclose(np.asarray(s2.params["w"]), 1.0)
 
 
+def test_nonfinite_gradients_skip_step():
+    """apex-AMP overflow-skip parity: inf/NaN grads leave the state
+    untouched and training resumes on the next finite step."""
+    params = {"w": jnp.ones((3,))}
+    tx = build_optimizer(params, base_lr=1.0, accumulate_steps=1,
+                         steps_per_epoch=10, warmup_iters=0, depth=0,
+                         layer_decay=1.0, weight_decay=0.0)
+    state = TrainState.create(params, tx)
+    g = {"w": jnp.ones((3,))}
+    s1 = state.apply_gradients(g)
+    w1 = np.asarray(s1.params["w"])
+    for bad in (jnp.nan, jnp.inf):
+        s2 = s1.apply_gradients({"w": jnp.full((3,), bad)})
+        np.testing.assert_array_equal(np.asarray(s2.params["w"]), w1)
+        s3 = s2.apply_gradients(g)  # recovers
+        assert np.isfinite(np.asarray(s3.params["w"])).all()
+        assert not np.allclose(np.asarray(s3.params["w"]), w1)
+
+
 TINY = dict(
     num_classes=4, embed_dim=48, depth=4, num_heads=6, out_indices=(0, 1, 2, 3),
     img_size=64, point_tokens=10, cam_layer=3, use_remat=False, max_gt=2,
