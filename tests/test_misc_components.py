@@ -97,6 +97,27 @@ def test_attention_with_capture_cpu_fallback():
     np.testing.assert_allclose(np.asarray(g), 0.0)
 
 
+def test_attention_kernel_extreme_logits_stay_finite():
+    """Divergence-regime guard: the pallas kernel's shift-softmax must
+    not emit inf/NaN when rows have huge or uniformly very-negative
+    logits (plain softmax's row-max absorbs these; the kernel guards
+    with an overflow clamp and an underflow denominator floor)."""
+    from attentionshift_tpu.ops.attention import _pallas_forward
+
+    d = 8
+    t = 16
+    # head 0: huge positive logits; head 1: all very negative rows
+    q = jnp.concatenate([
+        jnp.full((1, 1, t, d), 40.0, jnp.float32),
+        jnp.full((1, 1, t, d), -40.0, jnp.float32),
+    ], axis=1)
+    k = jnp.full((1, 2, t, d), 40.0, jnp.float32)
+    v = jnp.asarray(np.random.RandomState(0).randn(1, 2, t, d), jnp.float32)
+    out, mean = _pallas_forward(q, k, v, interpret=True)
+    assert bool(jnp.isfinite(out).all())
+    assert bool(jnp.isfinite(mean).all())
+
+
 # ---------------------------------------------------------------- visualize
 def test_visualize_roundtrip(tmp_path):
     img = np.random.RandomState(0).randn(64, 64, 3).astype(np.float32)
