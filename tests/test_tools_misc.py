@@ -253,6 +253,55 @@ def test_corruptions():
     assert cd.gt_instances(0)["masks"].shape == (0, 48, 64)
 
 
+TINY_CFG = """
+model = dict(
+    num_classes=20, embed_dim=48, depth=4, num_heads=6, out_indices=(0, 1, 2, 3),
+    img_size=64, point_tokens=10, cam_layer=3, use_remat=False, max_gt=4,
+    cam_stride=4, ccl_iters=8, num_mask_point_gt=4, corr_size=3,
+    mean_shift_times=2, num_semantic_points=2, rpn_channels=16,
+    num_proposals=16, rpn_nms_pre=16, rcnn_samples=8, mask_sample_cap=4,
+    test_max_per_img=5,
+)
+data = dict(test_scale=(96, 160), max_gt=4)
+"""
+
+
+@pytest.mark.slow
+def test_export_stablehlo_roundtrip(tmp_path):
+    """Serialized-StableHLO export + deserialize round-trip (tiny model)."""
+    cfg = tmp_path / "tiny.py"
+    cfg.write_text(TINY_CFG)
+    out = tmp_path / "det.stablehlo"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/deployment/export_stablehlo.py"),
+         str(cfg), "--out", str(out), "--scale", "96", "160"],
+        capture_output=True, text=True, env=ENV, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "round-trip check OK" in r.stdout
+    assert out.stat().st_size > 1_000_000  # weights baked in
+
+
+@pytest.mark.slow
+def test_robustness_tool(tmp_path, voc_seg_tree):
+    """P/PC/mPC corruption benchmark end-to-end on a synthetic val set."""
+    split = voc_seg_tree / "ImageSets" / "Segmentation" / "train.txt"
+    cfg = tmp_path / "rob.py"
+    cfg.write_text(TINY_CFG + f"""
+data.update(val=dict(split_file={str(split)!r}, voc_root={str(voc_seg_tree)!r}))
+""")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/analysis/test_robustness.py"),
+         str(cfg), "--corruptions", "contrast", "--severities", "1",
+         "--limit", "1"],
+        capture_output=True, text=True, env=ENV, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # the summary is the only top-level (column-0) JSON object printed
+    summary = json.loads(r.stdout[r.stdout.index("\n{") + 1:])
+    assert set(summary) >= {"P", "PC", "mPC"}
+
+
 def test_launcher_env_contract():
     """dist/slurm launchers export the vars tools/train.py consumes."""
     train = open(os.path.join(REPO, "tools/train.py")).read()
