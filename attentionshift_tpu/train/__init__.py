@@ -1,6 +1,7 @@
 from .checkpoint import (
     latest_checkpoint,
     restore_checkpoint,
+    restore_params,
     save_checkpoint,
     save_params,
 )
@@ -17,6 +18,7 @@ from .step import make_eval_step, make_train_step
 __all__ = [
     "latest_checkpoint",
     "restore_checkpoint",
+    "restore_params",
     "save_checkpoint",
     "save_params",
     "build_optimizer",

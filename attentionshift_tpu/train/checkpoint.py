@@ -19,7 +19,13 @@ import orbax.checkpoint as ocp
 
 from .state import TrainState
 
-__all__ = ["save_checkpoint", "latest_checkpoint", "restore_checkpoint", "save_params"]
+__all__ = [
+    "save_checkpoint",
+    "latest_checkpoint",
+    "restore_checkpoint",
+    "restore_params",
+    "save_params",
+]
 
 
 def _ckpt_dir(work_dir: str, epoch: int) -> str:
@@ -73,6 +79,30 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         params=restored["params"],
         opt_state=restored["opt_state"],
     )
+
+
+def restore_params(path: str) -> Any:
+    """Params-only restore, independent of the training optimizer config.
+
+    ``restore_checkpoint`` needs a structurally identical ``opt_state``
+    template, which forces eval-side tools to reconstruct the exact
+    training optimizer (accumulation steps, non-finite guard, ...).
+    Instead, build the full template from the checkpoint's own metadata
+    (shapes/dtypes) and return just the parameter tree. Also accepts
+    weight-only ``save_params`` exports (no ``params`` key nesting
+    difference — both layouts carry a top-level ``params``).
+    """
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+
+    def is_leaf(x):
+        return hasattr(x, "shape") and not isinstance(x, dict)
+
+    template = jax.tree.map(
+        lambda m: np.zeros(m.shape, m.dtype), meta, is_leaf=is_leaf
+    )
+    restored = ckptr.restore(path, template)
+    return restored["params"]
 
 
 def save_params(path: str, params: Any) -> str:

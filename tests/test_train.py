@@ -85,6 +85,27 @@ def test_multisteps_accumulation():
     assert not np.allclose(np.asarray(s2.params["w"]), 1.0)
 
 
+def test_restore_params_ignores_optimizer_layout(tmp_path):
+    """Eval-side tools restore params from a checkpoint regardless of
+    the TRAINING optimizer layout (accumulation wrapper, non-finite
+    guard) — restore_checkpoint needs a structurally identical template,
+    which previously forced accumulate_steps=1 eval templates that could
+    not restore accumulate_steps=2 training checkpoints."""
+    from attentionshift_tpu.train import (
+        restore_params, save_checkpoint,
+    )
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    tx = build_optimizer(params, accumulate_steps=2, steps_per_epoch=10,
+                         warmup_iters=0, depth=0, skip_nonfinite=5)
+    state = TrainState.create(params, tx)
+    state = state.apply_gradients({"w": jnp.ones((2, 3))})
+    path = save_checkpoint(str(tmp_path), state)
+    got = restore_params(path)
+    np.testing.assert_array_equal(np.asarray(got["w"]),
+                                  np.asarray(state.params["w"]))
+
+
 def test_nonfinite_gradients_skip_step():
     """apex-AMP overflow-skip parity: inf/NaN grads leave the state
     untouched and training resumes on the next finite step."""

@@ -58,9 +58,6 @@ def main():
     from attentionshift_tpu.data.corruptions import CorruptedDataset
     from attentionshift_tpu.eval.runner import evaluate
     from attentionshift_tpu.models.detector import AttnShiftDetector
-    from attentionshift_tpu.train import (
-        TrainState, build_optimizer, restore_checkpoint,
-    )
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     model = AttnShiftDetector(**cfg.model.to_dict())
@@ -83,10 +80,9 @@ def main():
     )
     params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     if args.checkpoint:
-        tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
-                             depth=int(cfg.model.depth))
-        state = restore_checkpoint(args.checkpoint, TrainState.create(params, tx))
-        params = state.params
+        from attentionshift_tpu.train import restore_params
+
+        params = restore_params(args.checkpoint)
 
     def run(ds):
         res = evaluate(

@@ -54,9 +54,6 @@ def main():
     from attentionshift_tpu.core.postprocess import Detections
     from attentionshift_tpu.data.pipeline import TestPipeline
     from attentionshift_tpu.models.detector import AttnShiftDetector, TestOutputs
-    from attentionshift_tpu.train import (
-        TrainState, build_optimizer, restore_checkpoint,
-    )
 
     # the inference outputs are namedtuples; teach the serializer their
     # structure so the artifact round-trips the full pytree
@@ -87,19 +84,11 @@ def main():
         lambda r: model.init(r, img0, wh0, method=type(model).simple_test)
     )(rng)
     if args.checkpoint:
-        g = int(cfg.data.get("max_gt", 20))
-        # restore from a TRAIN checkpoint (superset of the test params)
-        if refine:
-            from attentionshift_tpu.train.optim import build_sgd_optimizer
+        # params-only restore from a TRAIN checkpoint (superset of the
+        # test params), independent of the training optimizer layout
+        from attentionshift_tpu.train import restore_params
 
-            tx = build_sgd_optimizer(params, steps_per_epoch=1, accumulate_steps=1)
-        else:
-            tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
-                                 depth=int(cfg.model.depth))
-        state = TrainState.create(params, tx)
-        state = restore_checkpoint(args.checkpoint, state)
-        params = state.params
-        del g
+        params = restore_params(args.checkpoint)
         print(f"loaded {args.checkpoint}")
 
     def serve_with_params(p, img, img_wh):

@@ -61,7 +61,7 @@ def main():
     from attentionshift_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD, _pad_to, _resize_keep_ratio
     from attentionshift_tpu.models.detector import AttnShiftDetector
     from attentionshift_tpu.native import rle_encode, rle_to_string
-    from attentionshift_tpu.train import TrainState, build_optimizer, restore_checkpoint
+
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     model = AttnShiftDetector(**cfg.model.to_dict())
@@ -87,10 +87,9 @@ def main():
     )
     params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     if args.checkpoint:
-        tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
-                             depth=int(cfg.model.depth))
-        state = restore_checkpoint(args.checkpoint, TrainState.create(params, tx))
-        params = state.params
+        from attentionshift_tpu.train import restore_params
+
+        params = restore_params(args.checkpoint)
         print(f"loaded {args.checkpoint}")
 
     @jax.jit

@@ -60,7 +60,7 @@ def main():
     from attentionshift_tpu.data.build import build_eval_dataset
     from attentionshift_tpu.data.pipeline import TestPipeline
     from attentionshift_tpu.models.detector import AttnShiftDetector
-    from attentionshift_tpu.train import TrainState, restore_checkpoint, build_optimizer
+
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     refine = cfg.get("model_type", "attnshift") == "mask_rcnn"
@@ -101,16 +101,11 @@ def main():
     shapes = jax.eval_shape(init_fn)
     params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     if args.checkpoint:
-        if refine:
-            from attentionshift_tpu.train.optim import build_sgd_optimizer
+        # params-only restore: independent of the training optimizer
+        # layout (accumulation steps, non-finite guard, ...)
+        from attentionshift_tpu.train import restore_params
 
-            tx = build_sgd_optimizer(params, steps_per_epoch=1, accumulate_steps=1)
-        else:
-            tx = build_optimizer(params, steps_per_epoch=1, accumulate_steps=1,
-                                 depth=int(cfg.model.depth))
-        state = TrainState.create(params, tx)
-        state = restore_checkpoint(args.checkpoint, state)
-        params = state.params
+        params = restore_params(args.checkpoint)
         print(f"loaded {args.checkpoint}")
 
     aug_tester = None

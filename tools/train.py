@@ -192,6 +192,7 @@ def main():
             accumulate_steps=int(cfg.optimizer.accumulate_steps),
             grad_clip=cfg.optimizer.get("grad_clip"),
             frozen_stages=int(cfg.model.get("frozen_stages", 1)),
+            skip_nonfinite=cfg.optimizer.get("skip_nonfinite", 100),
         )
     else:
         tx = build_optimizer(
@@ -206,6 +207,7 @@ def main():
             warmup_ratio=float(cfg.schedule.warmup_ratio),
             accumulate_steps=int(cfg.optimizer.accumulate_steps),
             grad_clip=cfg.optimizer.get("grad_clip"),
+            skip_nonfinite=cfg.optimizer.get("skip_nonfinite", 100),
         )
     state = TrainState.create(params, tx)
 
