@@ -395,15 +395,17 @@ class AttnShiftDetector(nn.Module):
             assigned[:, None, :] == (jnp.arange(g)[None, :, None] + 1), axis=-1
         ).astype(jnp.int32)  # (B, G)
 
-        def cand_one(rows, tok, pts):
+        def cand_one(rows, tok, pts, val):
             return candidate_boxes(
                 rows, tok, pts, (hp, wp), (h, w),
                 seed_thr=self.seed_thr, seed_multiple=self.seed_multiple,
                 cam_stride=self.cam_stride, ccl_iters=self.ccl_iters,
-                use_pallas_ccl=self.use_pallas_ccl,
+                use_pallas_ccl=self.use_pallas_ccl, valid=val,
             )
 
-        cand, cams_patch = jax.vmap(cand_one)(rollout, token_of_gt, gt_points)
+        cand, cams_patch = jax.vmap(cand_one)(
+            rollout, token_of_gt, gt_points, gt_valid
+        )
         # cand: (B, G, L, 4); cams_patch: (B, L, G, Hp, Wp)
 
         # ---- MIL best-layer selection (gradients flow into backbone)

@@ -48,6 +48,7 @@ def candidate_boxes(
     cam_stride: int = 8,
     ccl_iters: int = 64,
     use_pallas_ccl: bool = False,
+    valid: jnp.ndarray | None = None,
 ):
     """Stage A candidates for one image.
 
@@ -58,6 +59,12 @@ def candidate_boxes(
         patch_hw: (Hp, Wp); img_hw: (H, W) padded image size.
         use_pallas_ccl: run all L*G component labelings in ONE VMEM-
             resident pallas kernel (~26x the XLA formulation on v5e).
+        valid: optional (G,) instance validity. Padding instances'
+            binarised CAMs are zeroed so their component labelings
+            converge in one sweep (their boxes fall back to [0,0,1,1],
+            which everything downstream already masks by gt_valid) —
+            real images fill a fraction of the ``max_gt`` slots, so this
+            skips most of the CCL fixpoint work.
 
     Returns:
         cand_boxes: (G, L, 4) per-layer pseudo boxes (image coords),
@@ -78,6 +85,8 @@ def candidate_boxes(
     # batched CCL + sort-based box extraction over all (layer, instance)
     # maps in single launches (no per-map scatters/gathers)
     binary = jax.vmap(jax.vmap(normalize_cam))(cams_up) >= seed_thr
+    if valid is not None:
+        binary = binary & valid[None, :, None, None]
     labels = connected_components_batch(
         binary.reshape(l * g, sh, sw), max_iters=ccl_iters,
         use_pallas=use_pallas_ccl,
