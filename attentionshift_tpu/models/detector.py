@@ -604,8 +604,9 @@ class AttnShiftDetector(nn.Module):
             lw, tgts.reshape(-1, 4), bw, loss_enable=loss_enable,
         )
 
-        # ---- mask head on positive rois only (fixed cap)
-        m = self.mask_sample_cap
+        # ---- mask head on positive rois only (fixed cap, clamped to the
+        # sampled-roi count so cap > rcnn_samples configs stay valid)
+        m = min(self.mask_sample_cap, self.rcnn_samples)
         k2 = jax.random.fold_in(rng, 1)
 
         def pick_pos(key, pos_m):

@@ -261,8 +261,9 @@ class MaskRCNN(nn.Module):
         if not self.with_mask:
             return losses, dict(rois=rois, pos=pos)
 
-        # ---- mask head on a fixed cap of positive rois
-        m = self.mask_sample_cap
+        # ---- mask head on a fixed cap of positive rois (clamped to the
+        # sampled-roi count so cap > rcnn_samples configs stay valid)
+        m = min(self.mask_sample_cap, self.rcnn_samples)
 
         def pick_pos(key, pos_m):
             score = pos_m.astype(jnp.float32) + jax.random.uniform(key, pos_m.shape) * 0.5

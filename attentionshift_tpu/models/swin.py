@@ -55,14 +55,28 @@ def _relative_position_index(ws: int) -> np.ndarray:
 
 
 def _shift_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """(nW, N, N) additive mask (-100 across region boundaries)."""
-    img_mask = np.zeros((1, h, w, 1), np.float32)
+    """(nW, N, N) additive mask (-100 across region boundaries).
+
+    Pure numpy end to end: routing the region map through jnp (the old
+    ``window_partition(jnp.asarray(...))`` round-trip) breaks under an
+    enclosing ``jax.jit`` once the map exceeds the constant-lifting
+    threshold — large closure constants become tracers, and the
+    ``np.asarray`` back-conversion raises TracerArrayConversionError
+    (surfaced by the first real-TPU Swin compile at 256x256; the unit
+    tests' 64x64 maps stayed below the threshold).
+    """
+    img_mask = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
         for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-            img_mask[:, hs, wss, :] = cnt
+            img_mask[hs, wss] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img_mask), ws))[..., 0]  # (nW, N)
+    # numpy window partition: (H, W) -> (nW, ws*ws)
+    mw = (
+        img_mask.reshape(h // ws, ws, w // ws, ws)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, ws * ws)
+    )
     diff = mw[:, None, :] - mw[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 

@@ -35,6 +35,23 @@ def test_shift_mask_blocks_cross_region():
     assert (np.diagonal(m[-1]) == 0.0).all()
 
 
+@pytest.mark.slow
+def test_swin_jittable_above_constant_lift_threshold():
+    """Swin must trace under an enclosing jax.jit at REAL sizes: jax
+    lifts large closure constants into tracers, which broke the old
+    jnp-round-tripped shift mask at 256x256 (64x64 stage-0 region map)
+    while the small unit-test sizes stayed concrete."""
+    model = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(2, 4), window_size=8
+    )
+    img = jnp.zeros((1, 256, 256, 3))
+    params = jax.jit(lambda r: model.init(r, img))(KEY)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, img)
+    f = out["feature"]
+    assert f[0].shape == (1, 64, 64, 32)
+    assert bool(jnp.isfinite(f[0]).all())
+
+
 def test_swin_pyramid_shapes():
     model = SwinTransformer(
         embed_dim=32, depths=(1, 1, 2, 1), num_heads=(2, 2, 4, 4), window_size=4
