@@ -1,3 +1,12 @@
 from .mesh import batch_sharding, make_mesh, replicate, shard_batch
+from .pp import gpipe, shard_stage_params, stack_stage_params
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "gpipe",
+    "shard_stage_params",
+    "stack_stage_params",
+]

@@ -12,9 +12,16 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# In-process CPU collectives SIGABRT when a participant is >40 s late to
+# a rendezvous — routine when 8 virtual devices timeshare a few cores.
+for _f in (
+    "--xla_cpu_collective_call_terminate_timeout_seconds=3600",
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
+):
+    if _f.split("=")[0] not in flags:
+        flags += " " + _f
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
