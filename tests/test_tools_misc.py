@@ -310,3 +310,23 @@ def test_launcher_env_contract():
     slurm = open(os.path.join(REPO, "tools/slurm_train.sh")).read()
     for var in ("JAX_COORDINATOR", "JAX_PROCESS_COUNT", "JAX_PROCESS_ID"):
         assert f"export {var}" in slurm
+
+
+def test_sweep_dry_run():
+    """sweep.py expands the grid into per-run train.py commands."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/sweep.py"),
+         "configs/attnshift_voc12aug.py",
+         "--grid", "model.obj_tau=0.85,0.9",
+         "--grid", "model.num_semantic_points=3,5",
+         "--dry-run", "--", "--max-steps", "5"],
+        capture_output=True, text=True, env=ENV, timeout=120, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("[sweep]")]
+    assert len(lines) == 4
+    assert "--cfg-options model.obj_tau=0.85 model.num_semantic_points=3" in lines[0]
+    assert lines[0].endswith("--max-steps 5")
+    # run names are distinct and derived from the override values
+    names = [l.split()[1].rstrip(":") for l in lines]
+    assert len(set(names)) == 4
