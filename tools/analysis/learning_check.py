@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="plain-XLA attention/CCL (kernel-vs-recipe A/B)")
     ap.add_argument("--f32", action="store_true", help="float32 model")
+    ap.add_argument("--dagger", type=int, default=0, metavar="N",
+                    help="after flagship training, dump pseudo labels and "
+                         "retrain a standard Mask R-CNN on them for N steps "
+                         "(the AttnShift-dagger loop), then score BOTH "
+                         "models' actual detections held-out")
     args = ap.parse_args()
     milestones = args.milestones or sorted(
         {0, args.steps // 8, args.steps // 2, args.steps}
@@ -119,11 +124,14 @@ def main():
         rngs={"sampling": k},
     ))
 
-    def score(params):
-        f32 = jax.tree.map(
+    def cast_f32(params):
+        return jax.tree.map(
             lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
             params,
         )
+
+    def score(params):
+        f32 = cast_f32(params)
         bious, mious = [], []
         for img, pts, lbl, val, tmasks, tboxes in held:
             out = jax.tree.map(np.asarray, seed(
@@ -161,9 +169,123 @@ def main():
         if it % 50 == 0:
             last_loss = float(m["loss_total"])
 
-    print(json.dumps(dict(
-        steps=args.steps, wall_s=round(time.time() - t0, 1), table=table,
-    )))
+    summary = dict(steps=args.steps, wall_s=round(time.time() - t0, 1),
+                   table=table)
+
+    if args.dagger:
+        summary["dagger"] = dagger_loop(
+            args, model, state.params, seed, train_data, held, wh, cast_f32
+        )
+
+    print(json.dumps(summary))
+
+
+def det_mask_iou(apply_fn, params, held, wh):
+    """Mean per-GT best detection-mask IoU over the held-out corpus.
+
+    Class-agnostic best-IoU over the model's ACTUAL detections (pasted
+    to image frame) — localisation quality of the trained detector, as
+    opposed to ``score``'s pseudo-label quality."""
+    from attentionshift_tpu.eval.masks import paste_masks_np
+
+    ious = []
+    for img, _, _, _, tmasks, _ in held:
+        out = apply_fn(params, jnp.asarray(img)[None], wh)
+        boxes = np.asarray(out.dets.boxes[0], np.float32)
+        valid = np.asarray(out.dets.valid[0])
+        probs = np.asarray(out.mask_probs[0], np.float32)
+        if valid.sum() == 0:
+            ious += [0.0] * len(tmasks)
+            continue
+        pasted = paste_masks_np(probs[valid], boxes[valid], H, W) > 0.5
+        for tm in tmasks:
+            inter = (pasted & tm[None]).sum(axis=(1, 2))
+            union = pasted.sum(axis=(1, 2)) + tm.sum() - inter
+            ious.append(float((inter / np.maximum(union, 1)).max()))
+    return float(np.mean(ious))
+
+
+def dagger_loop(args, model, params, seed, train_data, held, wh, cast_f32):
+    """AttnShift-dagger: pseudo-label dump -> Mask R-CNN retrain -> score.
+
+    The paper's dagger rows (`figures/Perform-VOC.jpg`, 68.3->70.3 mAP25)
+    retrain a standard Mask R-CNN on the stage-1 pseudo labels. Same loop
+    here, in-memory on the blob corpus: the flagship's final
+    ``seed_pseudo_gt`` output becomes full supervision for
+    ``models/mask_rcnn.py`` (the tools/gen_pseudo_labels.py ->
+    configs/mrcnn_refine_voc.py path, minus the filesystem round trip).
+    """
+    from attentionshift_tpu.models.mask_rcnn import MaskRCNN
+    from attentionshift_tpu.train.optim import build_sgd_optimizer
+    from attentionshift_tpu.train.step import make_refine_train_step
+
+    f32 = cast_f32(params)
+    G_ = train_data[0][1].shape[0]
+
+    # ---- stage 1 output -> full pseudo supervision for the train corpus
+    dumped = []
+    for img, pts, lbl, val, _, _ in train_data:
+        out = jax.tree.map(np.asarray, seed(
+            f32, jnp.asarray(img)[None], jnp.asarray(pts)[None],
+            jnp.asarray(lbl)[None], jnp.asarray(val)[None], wh,
+            jax.random.PRNGKey(7),
+        ))
+        dumped.append(dict(
+            img=img, boxes=out["pseudo_gt_bboxes"][0].astype(np.float32),
+            labels=lbl, masks=out["pseudo_gt_masks"][0][:, ::4, ::4], valid=val,
+        ))
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    rcnn = MaskRCNN(
+        num_classes=20, depths=(2, 2, 2, 2), frozen_stages=0,
+        num_proposals=256, rpn_nms_pre=512, rcnn_samples=128,
+        mask_sample_cap=32, test_max_per_img=8, dtype=dtype,
+    )
+    key = jax.random.PRNGKey(1)
+    d0 = dumped[0]
+    p_r = jax.jit(lambda k: rcnn.init(
+        {"params": k, "sampling": k},
+        jnp.zeros((B, H, W, 3), jnp.float32), jnp.asarray(d0["boxes"])[None],
+        jnp.asarray(d0["labels"])[None],
+        jnp.asarray(d0["masks"])[None], jnp.asarray(d0["valid"])[None], wh,
+    ))(key)
+    # batch-1 recipe: mmdet's lr 0.02 is for batch 16 -> linear-scaled
+    tx = build_sgd_optimizer(p_r, base_lr=0.0025, steps_per_epoch=100,
+                             warmup_iters=20, frozen_stages=0,
+                             accumulate_steps=1)
+    state_r = TrainState.create(p_r, tx)
+    step_r = make_refine_train_step(rcnn, donate=False)
+
+    last = float("nan")
+    for it in range(args.dagger):
+        d = dumped[it % len(dumped)]
+        batch = dict(
+            img=jnp.asarray(d["img"])[None],
+            gt_boxes=jnp.asarray(d["boxes"])[None],
+            gt_labels=jnp.asarray(d["labels"])[None],
+            gt_masks=jnp.asarray(d["masks"])[None],
+            gt_valid=jnp.asarray(d["valid"])[None],
+            img_wh=wh,
+        )
+        state_r, m = step_r(state_r, batch, jax.random.PRNGKey(1000 + it))
+        if it % 50 == 0:
+            last = float(m["loss_total"])
+            print(json.dumps(dict(dagger_step=it, loss=round(last, 2))),
+                  flush=True)
+
+    # ---- held-out DETECTION quality: flagship vs the refined Mask R-CNN
+    flag_test = jax.jit(lambda p, im, w: model.apply(
+        p, im, w, method=type(model).simple_test))
+    rcnn_test = jax.jit(lambda p, im, w: rcnn.apply(
+        p, im, w, method=MaskRCNN.simple_test))
+    res = dict(
+        steps=args.dagger, final_loss=round(last, 2),
+        flagship_det_mask_iou=round(det_mask_iou(flag_test, f32, held, wh), 4),
+        dagger_det_mask_iou=round(
+            det_mask_iou(rcnn_test, cast_f32(state_r.params), held, wh), 4),
+    )
+    print(json.dumps(res), flush=True)
+    return res
 
 
 if __name__ == "__main__":
