@@ -25,6 +25,10 @@ data = dict(
     num_threads=8,
     max_gt=40,  # COCO images carry more instances
     flip_ratio=0.5,
+    # JitterBrightness(brightness_delta=18) in the reference COCO config
+    # (`attnshift_..._qc.py:236`) — a +/-18 shift on the 0-255 pixel
+    # scale; the pipeline applies the equivalent multiplicative factor
+    brightness_delta=18 / 255,
     train_scales=[(s, 1333) for s in range(480, 801, 32)],
     test_scale=(800, 1333),
 )

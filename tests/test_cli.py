@@ -95,6 +95,9 @@ data = dict(
     num_threads=2,
     max_gt=4,
     flip_ratio=0.5,
+    # exercise the config->TrainPipeline plumb for the COCO-config augs
+    crop_size=(88, 152),
+    brightness_delta=0.07,
     train_scales=[(96, 160)],
     test_scale=(96, 160),
 )

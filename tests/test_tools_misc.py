@@ -330,3 +330,21 @@ def test_sweep_dry_run():
     # run names are distinct and derived from the override values
     names = [l.split()[1].rstrip(":") for l in lines]
     assert len(set(names)) == 4
+
+
+def test_shipped_configs_load_and_vitb_merges():
+    """Every shipped config parses; the ViT-B COCO leaf inherits the
+    full ViT-S COCO tree and overrides only width/heads/decay/init."""
+    from attentionshift_tpu.config import Config
+
+    for name in sorted(os.listdir(os.path.join(REPO, "configs"))):
+        if name.endswith(".py"):
+            Config.fromfile(os.path.join(REPO, "configs", name))
+
+    cfg = Config.fromfile(os.path.join(REPO, "configs/attnshift_coco_vitb.py"))
+    assert cfg.model.embed_dim == 768 and cfg.model.num_heads == 12
+    assert cfg.model.depth == 12 and cfg.model.with_reppoints_head
+    assert cfg.optimizer.layer_decay == 0.65
+    assert cfg.pretrained == "mae_pretrain_vit_base.pth"
+    # JitterBrightness plumb (reference COCO config `attnshift_..._qc.py:236`)
+    assert 0 < cfg.data.brightness_delta < 0.1

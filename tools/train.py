@@ -115,10 +115,13 @@ def main():
             mask_stride=int(cfg.model.get("mask_stride", 4)),
         )
     else:
+        crop = cfg.data.get("crop_size", None)
         pipeline = TrainPipeline(
             scales=[tuple(s) for s in cfg.data.train_scales],
             max_gt=int(cfg.data.max_gt),
             flip_ratio=float(cfg.data.flip_ratio),
+            crop_size=tuple(crop) if crop else None,
+            brightness_delta=float(cfg.data.get("brightness_delta", 0.0)),
         )
     loader = TrainLoader(
         dataset, pipeline, batch_size=int(cfg.data.batch_size), seed=seed,
