@@ -78,6 +78,7 @@ class AttnShiftDetector(nn.Module):
     use_pallas_attention: bool = False
     use_pallas_ccl: bool = False
     sequence_parallel: bool = False  # see VisionTransformerDet
+    pad_tokens_to: int = 0  # see VisionTransformerDet.pad_tokens_to
     # pseudo-label engine
     max_gt: int = 20
     seed_thr: float = 0.2
@@ -147,6 +148,7 @@ class AttnShiftDetector(nn.Module):
             use_remat=self.use_remat,
             use_pallas_attention=self.use_pallas_attention,
             sequence_parallel=self.sequence_parallel,
+            pad_tokens_to=self.pad_tokens_to,
             dtype=self.dtype,
             name="backbone",
         )

@@ -47,6 +47,9 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     use_pallas: bool = False  # fused TPU kernel for capture blocks
+    # [lo, hi) zero-token gap in the sequence to mask out of the softmax
+    # (models/vit.py ``pad_tokens_to``); None = no padding present
+    pad_interval: tuple | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,9 +75,11 @@ class Attention(nn.Module):
             )
 
             if capture:
-                out, attn_mean = attention_with_capture_sharded(q, k, v, True)
+                out, attn_mean = attention_with_capture_sharded(
+                    q, k, v, True, self.pad_interval)
             else:
-                out, attn_mean = attention_no_capture_sharded(q, k, v, True), None
+                out, attn_mean = attention_no_capture_sharded(
+                    q, k, v, True, self.pad_interval), None
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
             out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
             return out, attn_mean
@@ -82,6 +87,12 @@ class Attention(nn.Module):
         logits = jnp.einsum(
             "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
         )
+        if self.pad_interval is not None:
+            lo, hi = self.pad_interval
+            col = jnp.arange(n)
+            logits = logits + jnp.where(
+                (col >= lo) & (col < hi), -1e30, 0.0
+            ).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
             "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
@@ -109,6 +120,7 @@ class Block(nn.Module):
     capture: bool = False
     deterministic: bool = True
     use_pallas: bool = False
+    pad_interval: tuple | None = None  # see Attention
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,7 +128,7 @@ class Block(nn.Module):
         dim = x.shape[-1]
         y, attn = Attention(
             self.num_heads, self.qkv_bias, use_pallas=self.use_pallas,
-            dtype=self.dtype, name="attn"
+            pad_interval=self.pad_interval, dtype=self.dtype, name="attn"
         )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x), self.capture)
         x = x + self._drop_path(y)
         z = Mlp(int(dim * self.mlp_ratio), dim, dtype=self.dtype, name="mlp")(

@@ -72,6 +72,16 @@ class VisionTransformerDet(nn.Module):
     # 5); this is the TPU-native scaling path for large images. Only
     # valid under jit inside a Mesh that has a 'model' axis.
     sequence_parallel: bool = False
+    # Pad the token axis up to a multiple of this (0 = off) by inserting
+    # zero tokens BETWEEN the patch and point tokens, masked out of every
+    # softmax via the attention kernels' pad_interval. Point tokens stay
+    # the last P rows and patch tokens stay rows [1, 1+n_patch], so every
+    # downstream consumer (rollout, CAM slicing, feature taps) is
+    # untouched. Purpose: at the bench shape T = 4301 -> 4352, the fused
+    # kernels' per-block pad+slice copies (3 operand pads + out slice +
+    # the 37 MB captured-map slice per capture block) all disappear —
+    # the round-1/2 "pad the token axis" perf lever (NOTES_ROUND1.md).
+    pad_tokens_to: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +130,15 @@ class VisionTransformerDet(nn.Module):
         pe = interpolate_pos_embed(pos_embed, hp, wp, num_prefix=1)
         x = x + pe.astype(x.dtype)
         pts = (point_token + point_pos_embed).astype(x.dtype)
+        pad_interval = None
+        if self.pad_tokens_to:
+            t_real = 1 + n_patch + p
+            n_pad = -t_real % self.pad_tokens_to
+            if n_pad:
+                pad_interval = (1 + n_patch, 1 + n_patch + n_pad)
+                x = jnp.concatenate(
+                    [x, jnp.zeros((b, n_pad, d), x.dtype)], axis=1
+                )
         x = jnp.concatenate([x, jnp.broadcast_to(pts, (b, p, d))], axis=1)
 
         # numpy (not jnp): these are static hyperparams and must stay
@@ -150,6 +169,7 @@ class VisionTransformerDet(nn.Module):
                 capture=capture,
                 deterministic=deterministic,
                 use_pallas=self.use_pallas_attention,
+                pad_interval=pad_interval,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -162,7 +182,7 @@ class VisionTransformerDet(nn.Module):
                 feats.append(xp)
 
         last_feat = x[:, : 1 + n_patch]
-        point_tokens = x[:, 1 + n_patch :]
+        point_tokens = x[:, x.shape[1] - p :]
 
         org_feats = jnp.stack(feats, axis=1)
         if self.with_fpn:

@@ -77,7 +77,8 @@ def _tp_layout(mesh, batch, heads):
     return data, tp
 
 
-def attention_with_capture_sharded(q, k, v, use_pallas: bool = True):
+def attention_with_capture_sharded(q, k, v, use_pallas: bool = True,
+                                   pad_interval=None):
     """TP-composable capture attention.
 
     When the enclosing mesh has a >1 ``model`` axis that divides the head
@@ -89,15 +90,18 @@ def attention_with_capture_sharded(q, k, v, use_pallas: bool = True):
     """
     mesh = _current_mesh()
     if mesh is None:
-        return attention_with_capture(q, k, v, use_pallas, _interpret_default())
+        return attention_with_capture(q, k, v, use_pallas, _interpret_default(),
+                                      pad_interval)
     data, tp = _tp_layout(mesh, q.shape[0], q.shape[1])
     if tp == 1:
-        return attention_with_capture(q, k, v, use_pallas, _interpret_default())
+        return attention_with_capture(q, k, v, use_pallas, _interpret_default(),
+                                      pad_interval)
     interpret = mesh.devices.flat[0].platform != "tpu"
     spec = P(data, "model", None, None)
 
     def f(ql, kl, vl):
-        out, mean_local = attention_with_capture(ql, kl, vl, use_pallas, interpret)
+        out, mean_local = attention_with_capture(ql, kl, vl, use_pallas, interpret,
+                                                 pad_interval)
         # local mean is over H/tp heads; global mean = psum(local)/tp
         mean = jax.lax.psum(mean_local / tp, "model")
         return out, mean
@@ -108,24 +112,35 @@ def attention_with_capture_sharded(q, k, v, use_pallas: bool = True):
     )(q, k, v)
 
 
-def attention_no_capture_sharded(q, k, v, use_pallas: bool = True):
+def attention_no_capture_sharded(q, k, v, use_pallas: bool = True,
+                                 pad_interval=None):
     """TP-composable plain fused attention (see capture variant)."""
     mesh = _current_mesh()
     if mesh is None:
-        return attention_no_capture(q, k, v, use_pallas, _interpret_default())
+        return attention_no_capture(q, k, v, use_pallas, _interpret_default(),
+                                    pad_interval)
     data, tp = _tp_layout(mesh, q.shape[0], q.shape[1])
     if tp == 1:
-        return attention_no_capture(q, k, v, use_pallas, _interpret_default())
+        return attention_no_capture(q, k, v, use_pallas, _interpret_default(),
+                                    pad_interval)
     interpret = mesh.devices.flat[0].platform != "tpu"
     spec = P(data, "model", None, None)
     return jax.shard_map(
-        lambda ql, kl, vl: attention_no_capture(ql, kl, vl, use_pallas, interpret),
+        lambda ql, kl, vl: attention_no_capture(ql, kl, vl, use_pallas, interpret,
+                                                pad_interval),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )(q, k, v)
 
 
-def _jnp_reference(q, k, v):
+def _interval_mask(t, pad_interval):
+    """(T,) additive f32 logit mask for a [lo, hi) pad-column interval."""
+    lo, hi = pad_interval
+    col = jnp.arange(t)
+    return jnp.where((col >= lo) & (col < hi), -1e30, 0.0).astype(jnp.float32)
+
+
+def _jnp_reference(q, k, v, pad_interval=None):
     """(B, H, T, d) -> (out (B,H,T,d), mean_probs (B,T,T) in q.dtype).
 
     The capture rides the storage dtype: in bf16 models the 7 captured
@@ -137,6 +152,8 @@ def _jnp_reference(q, k, v):
     logits = jnp.einsum(
         "bhtd,bhsd->bhts", q * (d**-0.5), k, preferred_element_type=jnp.float32
     )
+    if pad_interval is not None:
+        logits = logits + _interval_mask(q.shape[2], pad_interval)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhts,bhsd->bhtd", probs.astype(v.dtype), v,
@@ -158,16 +175,24 @@ _SOFTMAX_SHIFT = 20.0
 _LOG2E = 1.4426950408889634
 
 
-def _pad_bias(t_pad, t_real):
+def _pad_bias(t_pad, pad_lo, pad_hi, t_real=None):
     """(1, t_pad) additive bias: -shift on real columns, -1e30 on padding.
 
     Computed once per q-tile and broadcast-added — the per-head
     iota+compare+select over the full (TQ, Tpad) tile was 3 VPU passes
     x num_heads; this is one add per head. exp(logit - 1e30) == 0
     implements the pad mask for free inside the softmax.
+
+    Padding is the half-open column interval [pad_lo, pad_hi): trailing
+    for internally padded inputs (pad_lo = t_real, pad_hi = t_pad), or a
+    mid-sequence gap when the model pre-pads the token axis between the
+    patch and point tokens (models/vit.py ``pad_tokens_to``).
     """
     col = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
-    return jnp.where(col < t_real, -_SOFTMAX_SHIFT, -1e30).astype(jnp.float32)
+    real = (col < pad_lo) | (col >= pad_hi)
+    if t_real is not None and t_real < t_pad:  # trailing internal padding too
+        real = real & (col < t_real)
+    return jnp.where(real, -_SOFTMAX_SHIFT, -1e30).astype(jnp.float32)
 
 
 def _head_attn(q, k, v, bias, fold_div: bool):
@@ -209,13 +234,14 @@ def _head_attn(q, k, v, bias, fold_div: bool):
     return out, e, recip
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
+def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, pad_lo, pad_hi,
+            t_real=None):
     # heads iterate INSIDE the kernel: the K/V blocks cover all heads and
     # depend only on the batch index, so they are DMA'd once per batch
     # element and stay VMEM-resident across every q tile — the grid
     # formulation with heads as a grid axis re-fetched the full K/V per
     # (q-tile, head), ~17x more HBM traffic at the bench shape.
-    bias = _pad_bias(k_ref.shape[2], t_real)
+    bias = _pad_bias(k_ref.shape[2], pad_lo, pad_hi, t_real)
     acc = None
     for h in range(num_heads):
         out, e, recip = _head_attn(
@@ -229,10 +255,15 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, t_real):
     mean_ref[0] = acc.astype(mean_ref.dtype)
 
 
-def _pallas_forward(q, k, v, tile_q: int = 128, interpret: bool = False):
+def _pallas_forward(q, k, v, tile_q: int = 128, interpret: bool = False,
+                    pad_interval=None):
     b, h, t, d = q.shape
     tpad = ((t + tile_q - 1) // tile_q) * tile_q
     pad = tpad - t
+    # pad_interval: the caller pre-padded the token axis (vit.py
+    # pad_tokens_to) with a zero gap at [pad_lo, pad_hi) — masked via the
+    # bias, no pad/slice copies here (pad == 0 when t is tile-aligned)
+    pad_lo, pad_hi = pad_interval if pad_interval is not None else (t, tpad)
     if pad:
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -242,7 +273,9 @@ def _pallas_forward(q, k, v, tile_q: int = 128, interpret: bool = False):
 
     grid = (b, tpad // tile_q)
     out, mean = pl.pallas_call(
-        functools.partial(_kernel, num_heads=h, t_real=t),
+        functools.partial(
+            _kernel, num_heads=h, pad_lo=pad_lo, pad_hi=pad_hi, t_real=t
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
             jax.ShapeDtypeStruct((b, tpad, tpad), q.dtype),
@@ -260,12 +293,15 @@ def _pallas_forward(q, k, v, tile_q: int = 128, interpret: bool = False):
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(qp, kp, vp)
-    return out[:, :, :t], mean[:, :t, :t]
+    if pad:
+        return out[:, :, :t], mean[:, :t, :t]
+    return out, mean
 
 
-def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, t_real):
+def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, pad_lo, pad_hi,
+                  t_real=None):
     # same resident-K/V head loop as ``_kernel`` (see comment there)
-    bias = _pad_bias(k_ref.shape[2], t_real)
+    bias = _pad_bias(k_ref.shape[2], pad_lo, pad_hi, t_real)
     for h in range(num_heads):
         out, _, _ = _head_attn(
             q_ref[0, h], k_ref[0, h], v_ref[0, h], bias, fold_div=True
@@ -273,24 +309,30 @@ def _plain_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, t_real):
         out_ref[0, h] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def attention_no_capture(q, k, v, use_pallas: bool = True, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attention_no_capture(q, k, v, use_pallas: bool = True, interpret: bool = False,
+                         pad_interval=None):
     """Plain fused attention (no probability emission) — for the
     non-capture blocks, whose jnp path otherwise materialises the
     per-head (T, T) matrix in HBM. ``interpret`` runs the kernel in
-    Pallas interpret mode (CPU meshes under shard_map)."""
+    Pallas interpret mode (CPU meshes under shard_map). ``pad_interval``
+    marks a pre-padded zero token gap [lo, hi) to mask (vit.py
+    ``pad_tokens_to``)."""
     if not (use_pallas and q.shape[-1] % 8 == 0):
-        return _jnp_reference(q, k, v)[0]
+        return _jnp_reference(q, k, v, pad_interval)[0]
     b, h, t, d = q.shape
     tile_q = 128
     tpad = ((t + tile_q - 1) // tile_q) * tile_q
     pad = tpad - t
+    pad_lo, pad_hi = pad_interval if pad_interval is not None else (t, tpad)
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_plain_kernel, num_heads=h, t_real=t),
+        functools.partial(
+            _plain_kernel, num_heads=h, pad_lo=pad_lo, pad_hi=pad_hi, t_real=t
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
         grid=(b, tpad // tile_q),
         in_specs=[
@@ -302,43 +344,46 @@ def attention_no_capture(q, k, v, use_pallas: bool = True, interpret: bool = Fal
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(q, k, v)
-    return out[:, :, :t]
+    return out[:, :, :t] if pad else out
 
 
-def _nc_fwd(q, k, v, use_pallas, interpret):
-    return attention_no_capture(q, k, v, use_pallas, interpret), (q, k, v)
+def _nc_fwd(q, k, v, use_pallas, interpret, pad_interval):
+    return attention_no_capture(q, k, v, use_pallas, interpret, pad_interval), (q, k, v)
 
 
-def _nc_bwd(use_pallas, interpret, res, g_out):
-    return _bwd(use_pallas, interpret, res, (g_out, None))
+def _nc_bwd(use_pallas, interpret, pad_interval, res, g_out):
+    return _bwd(use_pallas, interpret, pad_interval, res, (g_out, None))
 
 
 attention_no_capture.defvjp(_nc_fwd, _nc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def attention_with_capture(q, k, v, use_pallas: bool = True, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attention_with_capture(q, k, v, use_pallas: bool = True, interpret: bool = False,
+                           pad_interval=None):
     """Attention + detached head-averaged probs.
 
     Args:
         q/k/v: (B, H, T, d).
+        pad_interval: optional [lo, hi) pre-padded token gap to mask.
 
     Returns:
         out (B, H, T, d), mean_probs (B, T, T) f32 (stop-gradient).
     """
     if use_pallas and q.shape[-1] % 8 == 0:
-        out, mean = _pallas_forward(q, k, v, interpret=interpret)
+        out, mean = _pallas_forward(q, k, v, interpret=interpret,
+                                    pad_interval=pad_interval)
     else:
-        out, mean = _jnp_reference(q, k, v)
+        out, mean = _jnp_reference(q, k, v, pad_interval)
     return out, jax.lax.stop_gradient(mean)
 
 
-def _fwd(q, k, v, use_pallas, interpret):
-    out, mean = attention_with_capture(q, k, v, use_pallas, interpret)
+def _fwd(q, k, v, use_pallas, interpret, pad_interval):
+    out, mean = attention_with_capture(q, k, v, use_pallas, interpret, pad_interval)
     return (out, mean), (q, k, v)
 
 
-def _bwd(use_pallas, interpret, res, grads):
+def _bwd(use_pallas, interpret, pad_interval, res, grads):
     q, k, v = res
     # matmul operands stay in the storage dtype (bf16 on TPU) with f32
     # accumulation; softmax math is f32
@@ -348,6 +393,8 @@ def _bwd(use_pallas, interpret, res, grads):
     logits = jnp.einsum(
         "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
     ) * (d**-0.5)
+    if pad_interval is not None:
+        logits = logits + _interval_mask(q.shape[2], pad_interval)
     p = jax.nn.softmax(logits, axis=-1)
     pm = p.astype(mm)
     gv = jnp.einsum("bhts,bhtd->bhsd", pm, g_out, preferred_element_type=jnp.float32)

@@ -131,6 +131,7 @@ def main():
         num_classes=20, embed_dim=384, depth=12, num_heads=6, img_size=224,
         point_tokens=100, cam_layer=7, max_gt=args.max_gt, use_remat=False,
         use_pallas_attention=on_tpu, use_pallas_ccl=on_tpu, dtype=dtype,
+        pad_tokens_to=128,
     )
     b, h, w, g = args.batch, args.height, args.width, args.max_gt
     rng = jax.random.PRNGKey(0)

@@ -180,3 +180,46 @@ def test_mae_param_conversion_roundtrip():
     # untouched keys stay at init
     np.testing.assert_allclose(new["blocks_1"]["attn"]["qkv"]["kernel"],
                                params["blocks_1"]["attn"]["qkv"]["kernel"])
+
+
+def test_token_padding_is_equivalent():
+    """pad_tokens_to inserts a masked zero gap between patch and point
+    tokens (models/vit.py); every output of the backbone must be
+    unchanged vs the unpadded model (same params by construction)."""
+    def build(pad):
+        return VisionTransformerDet(
+            img_size=32, embed_dim=32, depth=4, num_heads=2,
+            out_indices=(0, 1, 2, 3), point_tokens_num=10, num_classes=5,
+            capture_layers=2, drop_path_rate=0.0, use_remat=False,
+            pad_tokens_to=pad,
+        )
+
+    img = jnp.asarray(np.random.RandomState(3).randn(1, 64, 96, 3), jnp.float32)
+    m0, m1 = build(0), build(128)
+    params = m0.init(jax.random.PRNGKey(0), img)
+    o0 = m0.apply(params, img)
+    o1 = m1.apply(params, img)
+    # T = 1 + 24 + 10 = 35 -> padded to 128 with a 93-token gap
+    t0 = 1 + 24 + 10
+    assert o1["attns"].shape[-1] == 128
+    np.testing.assert_allclose(o0["last_feat"], o1["last_feat"], atol=1e-5)
+    np.testing.assert_allclose(o0["point_tokens"], o1["point_tokens"], atol=1e-5)
+    np.testing.assert_allclose(o0["outputs_coord"], o1["outputs_coord"], atol=1e-5)
+    # real-token attention rows/cols agree; point rows are the last 10 of
+    # both layouts, patch cols are [0, 1+24)
+    a0 = np.asarray(o0["attns"][:, :, -10:, : 1 + 24])
+    a1 = np.asarray(o1["attns"][:, :, -10:, : 1 + 24])
+    np.testing.assert_allclose(a0, a1, atol=1e-5)
+    # pad columns of real rows carry zero attention mass
+    pad_cols = np.asarray(o1["attns"][:, :, -10:, 1 + 24 : 128 - 10])
+    assert np.abs(pad_cols).max() < 1e-7
+    # gradients of a real-row loss agree (the pad gap must not leak)
+    def loss(m):
+        def f(p):
+            o = m.apply(p, img)
+            return (o["point_tokens"] ** 2).sum() + (o["last_feat"] ** 2).sum()
+        return f
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for p0, p1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(p0, p1, rtol=1e-4, atol=1e-3)
