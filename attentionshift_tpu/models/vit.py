@@ -151,6 +151,13 @@ class VisionTransformerDet(nn.Module):
                 return t
             from jax.sharding import PartitionSpec as P
 
+            from ..ops.attention import _current_mesh
+
+            # no-op outside an active mesh with a 'model' axis (e.g. the
+            # eager init the CLI runs before entering the mesh context)
+            mesh = _current_mesh()
+            if mesh is None or int(mesh.shape.get("model", 1)) <= 1:
+                return t
             # batch stays on 'data' (None would mean REPLICATED and force
             # per-block all-gathers over the data axis), tokens on 'model'
             return jax.lax.with_sharding_constraint(t, P("data", "model", None))

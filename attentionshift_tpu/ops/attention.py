@@ -203,28 +203,42 @@ def _head_attn(q, k, v, bias, fold_div: bool):
     softmax denominator is applied to the (TQ, d) output instead of the
     (TQ, Tpad) probabilities — one full-width VPU pass saved — and the
     returned probs are UNNORMALISED (caller must scale by recip).
+
+    VPU-traffic choices (the kernel is VPU/VMEM-bound, not MXU-bound —
+    round-3 shootout in tools/analysis/microbench_attention.py):
+    - the d^-0.5*log2e scale is folded into the (TQ, d) q tile instead
+      of a full-width multiply on the (TQ, Tpad) logits;
+    - ``e`` is staged in the STORAGE dtype (bf16 on the bench/train
+      path): every later wide read (row-sum, PV operand, capture
+      contribution) moves half the bytes. Probabilities are in [0, 1]
+      and the captured maps are stored bf16 anyway, so the 0.4% relative
+      rounding matches the existing storage precision; f32 models (the
+      CPU numerics tests) keep an exact f32 chain.
+    Together: 0.99 -> 0.86 ms/layer at the bench shape.
     """
     d = q.shape[-1]
+    qs = q * jnp.asarray(d**-0.5 * _LOG2E, q.dtype)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (d**-0.5 * _LOG2E) + bias  # (TQ, Tpad), log2-domain
+    ) + bias  # (TQ, Tpad), log2-domain
     # Extreme-logit guards (both exact for any sane model; without them
     # a DIVERGING model feeds inf/NaN back into training, which plain
     # softmax's row-max subtraction would have absorbed — observed as
     # pallas-only NaN at step ~500 of the toy overfit run while the XLA
     # path stayed finite):
     # - overflow: exp2 overflows at 2^128; shifted logits of a sane
-    #   model stay < 60, so min() is inert until |logit| ~ 70;
+    #   model stay < 60, so min() is inert until |logit| ~ 70 (measured
+    #   free: fused into the exp2 pass);
     # - underflow: a row whose max logit is < ~-73 underflows the whole
     #   sum to 0 and 1/sum to inf; max() keeps it finite (softmax row
     #   degrades to garbage-but-finite exactly when the model already
     #   produces garbage).
-    e = jnp.exp2(jnp.minimum(logits, 100.0))
+    e = jnp.exp2(jnp.minimum(logits, 100.0)).astype(q.dtype)
     recip = 1.0 / jnp.maximum(
-        jnp.sum(e, axis=-1, keepdims=True), 1e-30
+        jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True), 1e-30
     )  # (TQ, 1)
-    p = e if fold_div else e * recip
+    p = e if fold_div else (e.astype(jnp.float32) * recip).astype(e.dtype)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -250,7 +264,7 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, mean_ref, *, num_heads, pad_lo, pad_hi
         out_ref[0, h] = out.astype(out_ref.dtype)
         # normalise while accumulating: e * (recip / H) is one multiply,
         # the same cost the plain softmax division would have paid
-        contrib = e * (recip * (1.0 / num_heads))
+        contrib = e.astype(jnp.float32) * (recip * (1.0 / num_heads))
         acc = contrib if acc is None else acc + contrib
     mean_ref[0] = acc.astype(mean_ref.dtype)
 

@@ -243,3 +243,27 @@ runtime = dict(log_interval=1, checkpoint_interval=1, eval_interval=1,
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
     out = json.loads(r2.stdout.strip().splitlines()[-1])
     assert set(out) == {"AP", "AP50", "AP75"}
+
+
+def test_train_cli_tensor_parallel(smoke_config, tmp_path):
+    """VERDICT round-2 item 4: TP/SP must be reachable from the shipped
+    CLI. An 8-virtual-device run with `parallel = dict(model=2, data=1)`
+    must build a (1, 2) mesh, TP-shard params + optimizer moments via
+    parallel.mesh.place_state (the same path the multichip dryrun uses),
+    and finish a train step."""
+    work = str(tmp_path / "work_tp")
+    env = dict(os.environ)
+    env["ATTNSHIFT_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
+        " --xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, "tools/train.py", smoke_config,
+         "--work-dir", work, "--max-steps", "1", "--no-validate",
+         "--cfg-options", "parallel.model=2", "parallel.data=1",
+         "parallel.sequence_parallel=True"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "parallel: mesh" in r.stdout, r.stdout[-2000:]
+    assert "'model': 2" in r.stdout
+    assert "training done" in r.stdout

@@ -80,7 +80,9 @@ def main():
     from attentionshift_tpu.data.loader import TrainLoader
     from attentionshift_tpu.data.pipeline import TrainPipeline
     from attentionshift_tpu.models.convert import load_torch_state_dict, mae_to_vit_params
-    from attentionshift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from attentionshift_tpu.parallel.mesh import (
+        mesh_from_config, place_state, shard_batch,
+    )
     from attentionshift_tpu.train import (
         TrainState,
         build_optimizer,
@@ -92,6 +94,12 @@ def main():
     from attentionshift_tpu.utils import MetricLogger, check_finite_losses
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
+    # parallel config block (TPU extension; the reference is DP-only,
+    # `run_train.py:9`): mesh axes + sequence parallelism. SP is a model
+    # construction flag, so inject it before build_model.
+    pcfg = dict(cfg.get("parallel", {}))
+    if pcfg.get("sequence_parallel"):
+        cfg["model"] = {**dict(cfg["model"]), "sequence_parallel": True}
     os.makedirs(args.work_dir, exist_ok=True)
     # collect_env analog (`tools/train.py:140-144` in the reference)
     import flax, optax, orbax.checkpoint
@@ -221,7 +229,13 @@ def main():
         state = restore_checkpoint(resume, state)
         print(f"resumed from {resume} (epoch {int(state.epoch)})")
 
-    mesh = make_mesh()
+    mesh_devices = (
+        jax.devices("cpu") if os.environ.get("ATTNSHIFT_PLATFORM") == "cpu" else None
+    )
+    mesh = mesh_from_config(pcfg, mesh_devices)
+    if int(mesh.shape.get("model", 1)) > 1 or pcfg.get("sequence_parallel"):
+        print(f"parallel: mesh {dict(mesh.shape)}, "
+              f"sp={bool(pcfg.get('sequence_parallel', False))}")
     use_teacher = bool(cfg.get("teacher", {}).get("enabled", False))
     if use_teacher:
         from attentionshift_tpu.train.ema import make_train_step_ts
@@ -244,7 +258,7 @@ def main():
     mlog = MetricLogger(os.path.join(args.work_dir, "train_log.jsonl"))
 
     with mesh:
-        state = replicate(state, mesh)
+        state = place_state(state, mesh)
         for epoch in range(start_epoch, total_epochs):
             t_ep = time.time()
             for i, batch in enumerate(loader.epoch(epoch)):
