@@ -3,12 +3,20 @@
 Reimplements `mmdet/core/evaluation/mean_ap_segm.py:114-166`, which
 delegates to chainercv's ``calc_instance_segmentation_voc_prec_rec`` +
 ``calc_detection_voc_ap`` (07 metric). chainercv is unavailable here, so
-the algorithm is written out directly:
+the algorithm is written out directly, chainercv-exact:
 
-per class: order predictions by score (globally), greedy-match each to
-the highest-IoU unmatched GT in its image (mask IoU >= iou_thresh ->
-TP, else FP), accumulate precision/recall, AP = 11-point interpolation
-(VOC2007) or area-under-PR (use_07_metric=False).
+per image and class: sort that image's predictions by score; each
+prediction's match is the ARGMAX-IoU ground truth — if that GT passes
+``iou_thresh`` and is unclaimed the prediction is a TP, otherwise an FP
+(chainercv does NOT re-match a prediction to its second-best GT when
+the best is already claimed; this matters for crowded same-class
+scenes). Globally per class: re-sort (score, match) pairs by score,
+cumulate precision/recall, AP = 11-point interpolation (VOC2007) or
+area-under-PR (use_07_metric=False); mAP = nanmean over classes.
+
+Fuzz-verified against an independent brute-force oracle transcribed
+from the chainercv algorithm (tests/test_data_eval.py, VERDICT round-2
+item 3).
 """
 
 from __future__ import annotations
@@ -76,28 +84,27 @@ def eval_map_segm(
     ):
         for c in range(num_classes):
             n_gt[c] += int((gl == c).sum())
-        order = np.argsort(-ps)
-        pm, pl, ps = (
-            [pm[i] for i in order],
-            pl[order] if len(pl) else pl,
-            ps[order] if len(ps) else ps,
-        )
         for c in np.unique(pl).tolist() if len(pl) else []:
             sel = np.where(pl == c)[0]
+            # per-image score sort (chainercv: ``argsort()[::-1]``)
+            sel = sel[np.asarray(ps[sel]).argsort(kind="stable")[::-1]]
             gsel = np.where(gl == c)[0]
             gts = gm[gsel] if len(gsel) else np.zeros((0,) + (gm.shape[1:] if len(gm) else (1, 1)), bool)
+            preds = np.stack([pm[i] for i in sel])
+            scores[c].extend(float(ps[i]) for i in sel)
+            if len(gsel) == 0:
+                matches[c].extend([0] * len(sel))
+                continue
+            iou = mask_iou(preds, gts)
+            # chainercv matching: each prediction is judged against its
+            # single ARGMAX-IoU gt only; a claimed gt makes it an FP
+            gt_index = iou.argmax(axis=1)
+            gt_index[iou.max(axis=1) < iou_thresh] = -1
             used = np.zeros(len(gsel), bool)
-            preds = np.stack([pm[i] for i in sel]) if len(sel) else None
-            iou = mask_iou(preds, gts) if preds is not None else None
-            for k, i in enumerate(sel):
-                scores[c].append(float(ps[i]))
-                if iou is None or iou.shape[1] == 0:
-                    matches[c].append(0)
-                    continue
-                j = int(np.argmax(np.where(used, -1.0, iou[k])))
-                if iou[k, j] >= iou_thresh and not used[j]:
+            for j in gt_index:
+                if j >= 0:
+                    matches[c].append(0 if used[j] else 1)
                     used[j] = True
-                    matches[c].append(1)
                 else:
                     matches[c].append(0)
 
@@ -110,7 +117,7 @@ def eval_map_segm(
             continue
         sc = np.asarray(scores[c])
         mt = np.asarray(matches[c])
-        order = np.argsort(-sc)
+        order = sc.argsort(kind="stable")[::-1]
         tp = np.cumsum(mt[order])
         fp = np.cumsum(1 - mt[order])
         rec = tp / n_gt[c]
@@ -158,19 +165,22 @@ def eval_map(
             n_gt[c] += int((gl == c).sum())
         for c in np.unique(pl).tolist() if len(pl) else []:
             sel = np.where(pl == c)[0]
-            sel = sel[np.argsort(-ps[sel])]
+            sel = sel[np.asarray(ps[sel]).argsort(kind="stable")[::-1]]
             gsel = np.where(gl == c)[0]
+            scores[c].extend(float(ps[i]) for i in sel)
+            if len(gsel) == 0:
+                matches[c].extend([0] * len(sel))
+                continue
             iou = box_iou_np(pb[sel], gb[gsel])
+            # chainercv matching (see eval_map_segm): argmax-only, no
+            # re-match to a second-best unclaimed gt
+            gt_index = iou.argmax(axis=1)
+            gt_index[iou.max(axis=1) < iou_thresh] = -1
             used = np.zeros(len(gsel), bool)
-            for k, i in enumerate(sel):
-                scores[c].append(float(ps[i]))
-                if iou.shape[1] == 0:
-                    matches[c].append(0)
-                    continue
-                j = int(np.argmax(np.where(used, -1.0, iou[k])))
-                if iou[k, j] >= iou_thresh and not used[j]:
+            for j in gt_index:
+                if j >= 0:
+                    matches[c].append(0 if used[j] else 1)
                     used[j] = True
-                    matches[c].append(1)
                 else:
                     matches[c].append(0)
     aps = np.full((num_classes,), np.nan)
@@ -182,7 +192,7 @@ def eval_map(
             continue
         sc = np.asarray(scores[c])
         mt = np.asarray(matches[c])
-        order = np.argsort(-sc)
+        order = sc.argsort(kind="stable")[::-1]
         tp = np.cumsum(mt[order])
         fp = np.cumsum(1 - mt[order])
         rec = tp / n_gt[c]
