@@ -148,8 +148,38 @@ class Block(nn.Module):
         return x / keep * mask
 
 
+class _PatchProj(nn.Module):
+    """Patch projection with a CONV-SHAPED kernel applied as a matmul.
+
+    The parameter keeps nn.Conv's (p, p, C, D) kernel layout so MAE
+    checkpoint conversion and existing param trees are unchanged, but
+    the op is space-to-depth + one (N, p*p*C) x (p*p*C, D) matmul: a
+    stride-p conv over C=3 input channels runs the MXU at ~1.5 TF/s
+    (contraction dim 3) and forced an extra full-image layout copy —
+    together 2.4 ms/img at the bench shape vs ~0.2 ms for the matmul
+    formulation (round-3 hlo_stats profile).
+    """
+
+    features: int
+    patch_size: int
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, Hp, Wp, p*p*C) space-to-depth'd patches
+        p, c, d = self.patch_size, self.in_channels, self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, c, d)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        k = kernel.reshape(p * p * c, d).astype(self.dtype)
+        return x @ k + bias.astype(self.dtype)
+
+
 class PatchEmbed(nn.Module):
-    """Conv stride-16 patchifier (`models/vision_transformer.py:126-140`)."""
+    """Stride-16 patchifier (`models/vision_transformer.py:126-140`),
+    computed as space-to-depth + matmul (see ``_PatchProj``)."""
 
     embed_dim: int
     patch_size: int = 16
@@ -158,15 +188,17 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (B, H, W, 3) channel-last (TPU layout)
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="proj",
-        )(x)
-        return x  # (B, Hp, Wp, D)
+        b, h, w, c = x.shape
+        p = self.patch_size
+        hp, wp = h // p, w // p
+        x = x.astype(self.dtype)
+        # space-to-depth: (B, Hp, p, Wp, p, C) -> (B, Hp, Wp, p, p, C);
+        # the (p, p, C) patch order matches the conv kernel's reshape
+        x = x.reshape(b, hp, p, wp, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hp, wp, p * p * c)
+        return _PatchProj(
+            self.embed_dim, p, c, dtype=self.dtype, name="proj"
+        )(x)  # (B, Hp, Wp, D)
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:

@@ -122,7 +122,10 @@ def bbox_from_labels_batch(
         # cam_stride; the stride-1 exact path takes the 3-operand sort
         # below). One operand through the sort network instead of three.
         pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (k, n))
-        key = jax.lax.sort(flat * (1 << 15) + pos, dimension=1)
+        # keys are unique (they embed pos), so a stable sort buys nothing
+        # — and XLA implements stability by sorting an extra iota operand
+        # alongside (2x the payload; the sort is VMEM-read-bound)
+        key = jax.lax.sort(flat * (1 << 15) + pos, dimension=1, is_stable=False)
         sl = key >> 15
         spos = key & ((1 << 15) - 1)
         sx = spos % w
@@ -134,7 +137,11 @@ def bbox_from_labels_batch(
         ys = jnp.broadcast_to(
             jnp.arange(h, dtype=jnp.int32)[None, :, None], (k, h, w)
         ).reshape(k, n)
-        sl, sx, sy = jax.lax.sort((flat, xs, ys), dimension=1, num_keys=1)
+        # unstable: segment stats (count/extent) are order-invariant
+        # within a label segment
+        sl, sx, sy = jax.lax.sort(
+            (flat, xs, ys), dimension=1, num_keys=1, is_stable=False
+        )
 
     start = jnp.concatenate(
         [jnp.ones((k, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1

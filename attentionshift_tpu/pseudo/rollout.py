@@ -85,7 +85,11 @@ def attention_rollout_point_rows(
         r_new = prod + rw
         return r_new, r_new
 
-    # multiply by aug[-2], aug[-3], ..., aug[0]
-    rest = attns[:-1][::-1]  # (L-1, B, T, T)
-    _, rs = jax.lax.scan(step, r0, rest)
-    return jnp.concatenate([r0[None], rs], axis=0)
+    # multiply by aug[-2], aug[-3], ..., aug[0]. scan(reverse=True)
+    # iterates attns[:-1] back-to-front WITHOUT materialising a reversed
+    # copy (a (L-1, B, T, T) reverse was 0.7 ms/img of pure HBM traffic
+    # at the bench shape); its ys land at their xs' indices, i.e. in
+    # depth order, so one small (L-1, B, P, T) flip restores the
+    # reference's reverse_joint output order.
+    _, rs = jax.lax.scan(step, r0, attns[:-1], reverse=True)
+    return jnp.concatenate([r0[None], rs[::-1]], axis=0)

@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--budget-s", type=float, default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
                     help="wall-clock watchdog: emit best-so-far JSON and exit at this age")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--cam-stride", type=int, default=None,
+                    help="override Stage-A CCL stride (1 = exact reference res)")
+    ap.add_argument("--map-stride", type=int, default=None,
+                    help="override Stage-B/C map stride (1 = exact reference res)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(view with tensorboard/xprof)")
@@ -127,11 +131,16 @@ def main():
     _STATE["phase"] = "init"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     on_tpu = dev.platform != "cpu"
+    overrides = {}
+    if args.cam_stride is not None:
+        overrides["cam_stride"] = args.cam_stride
+    if args.map_stride is not None:
+        overrides["seed_map_stride"] = args.map_stride
     model = AttnShiftDetector(
         num_classes=20, embed_dim=384, depth=12, num_heads=6, img_size=224,
         point_tokens=100, cam_layer=7, max_gt=args.max_gt, use_remat=False,
         use_pallas_attention=on_tpu, use_pallas_ccl=on_tpu, dtype=dtype,
-        pad_tokens_to=128,
+        pad_tokens_to=128, **overrides,
     )
     b, h, w, g = args.batch, args.height, args.width, args.max_gt
     rng = jax.random.PRNGKey(0)
