@@ -227,3 +227,143 @@ class VisionTransformerDet(nn.Module):
         x = nn.gelu(x, approximate=False)
         x = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_deconv2")(x)
         return x
+
+
+def vit_forward_pp(
+    model: VisionTransformerDet,
+    variables,
+    img,
+    mesh,
+    num_microbatches: int,
+    axis: str = "model",
+):
+    """Pipeline-parallel backbone forward (GPipe over the block stack).
+
+    TPU extension (the reference is DP-only, SURVEY.md section 2.11):
+    the ``depth`` blocks are split into ``S = mesh.shape[axis]`` stages,
+    one per mesh slice, and ``num_microbatches`` microbatches stream
+    through the ``parallel.pp.gpipe_aux`` schedule. Per-block side
+    outputs (captured attention, feature taps) land in stage-local
+    buffers — they are never ppermuted around the ring.
+
+    Constraints (documented, asserted):
+    - deterministic forward only (drop-path off — stages must be
+      homogeneous programs);
+    - ``depth % S == 0`` and ``batch % num_microbatches == 0``;
+    - every block runs in capture mode (stage homogeneity); only the
+      trailing ``capture_layers`` maps are returned, matching the plain
+      forward's contract.
+
+    Returns the same output dict as ``model.apply(variables, img)``.
+    """
+    from ..parallel.pp import gpipe_aux, stack_stage_params
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    b, h, w, _ = img.shape
+    d = model.embed_dim
+    p = model.point_tokens_num
+    hp, wp = h // model.patch_size, w // model.patch_size
+    n_patch = hp * wp
+    s = int(mesh.shape[axis])
+    assert model.depth % s == 0, (model.depth, s)
+    assert b % num_microbatches == 0, (b, num_microbatches)
+    k = model.depth // s
+
+    # ---- prologue (same math as __call__) ----
+    x = PatchEmbed(d, model.patch_size, dtype=model.dtype).apply(
+        {"params": params["patch_embed"]}, img
+    ).reshape(b, n_patch, d)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(params["cls_token"], (b, 1, d)).astype(x.dtype), x],
+        axis=1,
+    )
+    pe = interpolate_pos_embed(params["pos_embed"], hp, wp, num_prefix=1)
+    x = x + pe.astype(x.dtype)
+    pts = (params["point_token"] + params["point_pos_embed"]).astype(x.dtype)
+    pad_interval = None
+    if model.pad_tokens_to:
+        t_real = 1 + n_patch + p
+        n_pad = -t_real % model.pad_tokens_to
+        if n_pad:
+            pad_interval = (1 + n_patch, 1 + n_patch + n_pad)
+            x = jnp.concatenate([x, jnp.zeros((b, n_pad, d), x.dtype)], axis=1)
+    x = jnp.concatenate([x, jnp.broadcast_to(pts, (b, p, d))], axis=1)
+    t = x.shape[1]
+
+    # ---- staged trunk ----
+    stacked = stack_stage_params([
+        stack_stage_params([params[f"blocks_{si * k + j}"] for j in range(k)])
+        for si in range(s)
+    ])  # leaves: (S, k, ...)
+    block = Block(
+        num_heads=model.num_heads, mlp_ratio=model.mlp_ratio,
+        qkv_bias=model.qkv_bias, drop_path=0.0, capture=True,
+        deterministic=True, use_pallas=model.use_pallas_attention,
+        pad_interval=pad_interval, dtype=model.dtype,
+    )
+
+    def stage_fn(pstage, mb):
+        def body(xc, pblk):
+            y, attn = block.apply({"params": pblk}, xc)
+            return y, (attn.astype(xc.dtype), y)
+
+        xout, aux = jax.lax.scan(body, mb, pstage)
+        return xout, aux
+
+    m = num_microbatches
+    mb = b // m
+    xm = x.reshape(m, mb, t, d)
+    aux_shape = (
+        jax.ShapeDtypeStruct((k, mb, t, t), x.dtype),
+        jax.ShapeDtypeStruct((k, mb, t, d), x.dtype),
+    )
+    out, (attns_sm, xs_sm) = gpipe_aux(
+        stage_fn, stacked, xm, aux_shape, mesh=mesh, axis=axis
+    )
+    x_final = out.reshape(b, t, d)
+    # (S, M, k, mb, ...) -> (depth, B, ...)
+    attns_all = attns_sm.transpose(0, 2, 1, 3, 4, 5).reshape(model.depth, b, t, t)
+    xs_all = xs_sm.transpose(0, 2, 1, 3, 4, 5).reshape(model.depth, b, t, d)
+
+    # ---- epilogue (same math as __call__) ----
+    feats = [
+        xs_all[i][:, 1 : 1 + n_patch].reshape(b, hp, wp, d)
+        for i in model.out_indices
+    ]
+    org_feats = jnp.stack(feats, axis=1)
+    if model.with_fpn:
+        f0 = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=model.dtype).apply(
+            {"params": params["fpn1_deconv1"]}, feats[0])
+        f0 = nn.BatchNorm(
+            use_running_average=True, epsilon=1e-5, dtype=model.dtype
+        ).apply({"params": params["fpn1_bn"],
+                 "batch_stats": bstats["fpn1_bn"]}, f0)
+        f0 = nn.gelu(f0, approximate=False)
+        f0 = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=model.dtype).apply(
+            {"params": params["fpn1_deconv2"]}, f0)
+        feats = [
+            f0,
+            nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=model.dtype).apply(
+                {"params": params["fpn2_deconv"]}, feats[1]),
+            feats[2],
+            nn.max_pool(feats[3], (2, 2), strides=(2, 2)),
+        ]
+
+    last_feat = x_final[:, : 1 + n_patch]
+    point_tokens = x_final[:, t - p :]
+    capture_from = model.depth - model.capture_layers
+    ret = dict(
+        feature=tuple(feats),
+        org_feats=org_feats,
+        point_tokens=point_tokens,
+        last_feat=last_feat,
+        attns=attns_all[capture_from:],
+    )
+    if model.with_point_head:
+        ret["outputs_class"] = MlpHead(d, model.num_classes, dtype=model.dtype).apply(
+            {"params": params["class_embed"]}, point_tokens)
+        ret["outputs_coord"] = jax.nn.sigmoid(
+            MlpHead(d, 2, dtype=model.dtype).apply(
+                {"params": params["bbox_embed"]}, point_tokens))
+    return ret

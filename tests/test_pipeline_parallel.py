@@ -87,3 +87,46 @@ def test_gpipe_more_microbatches_than_stages():
         )(stacked, x)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_vit_forward_pp_matches_plain():
+    """The PP-staged backbone forward (vit_forward_pp, gpipe_aux over a
+    dp2 x pp2 mesh) must reproduce the plain forward's full output
+    contract: trunk tokens, captured attention, feature taps, FPN, and
+    point heads."""
+    import numpy as np
+
+    from attentionshift_tpu.models.vit import VisionTransformerDet, vit_forward_pp
+    from attentionshift_tpu.parallel.mesh import make_mesh
+
+    model = VisionTransformerDet(
+        img_size=32, embed_dim=32, depth=4, num_heads=2,
+        out_indices=(0, 1, 2, 3), point_tokens_num=10, num_classes=5,
+        capture_layers=3, drop_path_rate=0.1, use_remat=False,
+        pad_tokens_to=128,
+    )
+    img = jnp.asarray(np.random.RandomState(0).randn(4, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    want = model.apply(variables, img)  # deterministic=True default
+
+    mesh = make_mesh(jax.devices("cpu")[:4], model=2)  # dp2 x pp2
+    with mesh:
+        got = jax.jit(
+            lambda v, im: vit_forward_pp(model, v, im, mesh, num_microbatches=2)
+        )(variables, img)
+
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]), np.asarray(want["last_feat"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["point_tokens"]), np.asarray(want["point_tokens"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["attns"]), np.asarray(want["attns"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["org_feats"]), np.asarray(want["org_feats"]), atol=2e-5)
+    for fg, fw in zip(got["feature"], want["feature"]):
+        np.testing.assert_allclose(np.asarray(fg), np.asarray(fw), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["outputs_coord"]), np.asarray(want["outputs_coord"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["outputs_class"]), np.asarray(want["outputs_class"]), atol=2e-4)
