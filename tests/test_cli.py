@@ -139,6 +139,7 @@ def test_base_config_inheritance():
     assert cfg.data.max_gt == 20  # from _base_ data
 
 
+@pytest.mark.medium
 def test_train_cli_and_resume(smoke_config, tmp_path):
     work = str(tmp_path / "work")
     r = _run([sys.executable, "tools/train.py", smoke_config,
@@ -245,6 +246,7 @@ runtime = dict(log_interval=1, checkpoint_interval=1, eval_interval=1,
     assert set(out) == {"AP", "AP50", "AP75"}
 
 
+@pytest.mark.medium
 def test_train_cli_tensor_parallel(smoke_config, tmp_path):
     """VERDICT round-2 item 4: TP/SP must be reachable from the shipped
     CLI. An 8-virtual-device run with `parallel = dict(model=2, data=1)`

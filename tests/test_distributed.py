@@ -24,6 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.medium
 def test_two_process_jax_distributed(tmp_path):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

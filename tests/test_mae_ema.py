@@ -47,6 +47,7 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(t3["w"]), 0.19, rtol=1e-6)
 
 
+@pytest.mark.medium
 def test_detector_teacher_path():
     """Train forward with an EMA teacher driving the pseudo-label engine."""
     from attentionshift_tpu.models.detector import AttnShiftDetector

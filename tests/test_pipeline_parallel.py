@@ -90,6 +90,7 @@ def test_gpipe_more_microbatches_than_stages():
 
 
 @pytest.mark.slow
+@pytest.mark.medium
 def test_vit_forward_pp_matches_plain():
     """The PP-staged backbone forward (vit_forward_pp, gpipe_aux over a
     dp2 x pp2 mesh) must reproduce the plain forward's full output

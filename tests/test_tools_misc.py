@@ -267,6 +267,7 @@ data = dict(test_scale=(96, 160), max_gt=4)
 
 
 @pytest.mark.slow
+@pytest.mark.medium
 def test_export_stablehlo_roundtrip(tmp_path):
     """Serialized-StableHLO export + deserialize round-trip (tiny model)."""
     cfg = tmp_path / "tiny.py"
@@ -283,6 +284,7 @@ def test_export_stablehlo_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.medium
 def test_robustness_tool(tmp_path, voc_seg_tree):
     """P/PC/mPC corruption benchmark end-to-end on a synthetic val set."""
     split = voc_seg_tree / "ImageSets" / "Segmentation" / "train.txt"
