@@ -106,6 +106,12 @@ def main():
     ap.add_argument("--budget-s", type=float, default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
                     help="wall-clock watchdog: emit best-so-far JSON and exit at this age")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--ckpt", default=None, metavar="DIR",
+                    help="params-only orbax checkpoint to bench instead of "
+                         "random init (produce one with tools/analysis/"
+                         "learning_check.py --save-ckpt DIR); trained "
+                         "attention converges the CCL fixpoint faster, so "
+                         "random init is the conservative default")
     ap.add_argument("--cam-stride", type=int, default=None,
                     help="override Stage-A CCL stride (1 = exact reference res)")
     ap.add_argument("--map-stride", type=int, default=None,
@@ -166,6 +172,33 @@ def main():
         )
     )(rng)
     jax.block_until_ready(params)
+    if args.ckpt:
+        from attentionshift_tpu.train.checkpoint import restore_params
+
+        trained = restore_params(os.path.abspath(args.ckpt))
+        # Accept either a params-only tree or a full variables dict
+        # (learning_check saves TrainState.params, i.e. the full dict).
+        # The seed-only init here holds a SUBSET of the train-time tree
+        # (backbone + MIL head), so merge by path: overwrite every init
+        # leaf whose path exists in the checkpoint, keep init for the
+        # rest, and require the backbone to be covered.
+        src = trained.get("params", trained)
+        lut = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(src)[0]
+        }
+        pleaves, tdef = jax.tree_util.tree_flatten_with_path(params["params"])
+        hits = sum(jax.tree_util.keystr(p) in lut for p, _ in pleaves)
+        if hits == 0:
+            raise SystemExit(f"--ckpt {args.ckpt}: no matching parameter paths")
+        merged = jax.tree_util.tree_unflatten(
+            tdef,
+            [jnp.asarray(lut.get(jax.tree_util.keystr(p), v), v.dtype)
+             for p, v in pleaves],
+        )
+        params = {**params, "params": merged}
+        print(f"loaded {hits}/{len(pleaves)} seed-path params from {args.ckpt}",
+              file=sys.stderr)
 
     @jax.jit
     def seed(params, img, pts, lbls, valid, img_wh, key):

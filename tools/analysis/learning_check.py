@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="plain-XLA attention/CCL (kernel-vs-recipe A/B)")
     ap.add_argument("--f32", action="store_true", help="float32 model")
+    ap.add_argument("--save-ckpt", default=None, metavar="DIR",
+                    help="save the trained params (orbax, params-only) — "
+                         "the fixture for `bench.py --ckpt` (throughput on "
+                         "realistic attention instead of random init)")
     ap.add_argument("--dagger", type=int, default=0, metavar="N",
                     help="after flagship training, dump pseudo labels and "
                          "retrain a standard Mask R-CNN on them for N steps "
@@ -171,6 +175,13 @@ def main():
 
     summary = dict(steps=args.steps, wall_s=round(time.time() - t0, 1),
                    table=table)
+
+    if args.save_ckpt:
+        from attentionshift_tpu.train.checkpoint import save_params
+
+        path = save_params(os.path.abspath(args.save_ckpt), state.params)
+        summary["ckpt"] = path
+        print(f"saved trained params to {path}", flush=True)
 
     if args.dagger:
         summary["dagger"] = dagger_loop(
