@@ -34,10 +34,18 @@ def _match_image(pred_rles, pred_scores, gt_rles, gt_crowd, iou_thrs):
     if npred == 0:
         return matched, ignored
     order = np.argsort(-np.asarray(pred_scores), kind="stable")
+    gt_crowd = np.asarray(gt_crowd, bool)
+    # COCOeval iterates GTs ignored-LAST (stable): a detection takes any
+    # qualifying non-crowd GT before considering a crowd region, even at
+    # lower IoU; crowd IoU itself is intersection-over-det-area.
+    gorder = np.argsort(gt_crowd, kind="stable")
     if ngt:
         iou = native.rle_iou_matrix(
-            [pred_rles[i] for i in order], gt_rles
-        )  # (Np, Ng)
+            [pred_rles[i] for i in order],
+            [gt_rles[g] for g in gorder],
+            iscrowd_b=gt_crowd[gorder],
+        )  # (Np, Ng) in (score, ignored-last) order
+        crowd_sorted = gt_crowd[gorder]
     for ti, thr in enumerate(iou_thrs):
         gt_used = np.zeros(ngt, bool)
         for pi in range(npred):
@@ -45,15 +53,16 @@ def _match_image(pred_rles, pred_scores, gt_rles, gt_crowd, iou_thrs):
                 break
             best, best_iou = -1, thr
             for gi in range(ngt):
-                if gt_used[gi] and not gt_crowd[gi]:
+                if gt_used[gi] and not crowd_sorted[gi]:
                     continue
+                # best already non-crowd and we've reached the crowd
+                # tail: stop (COCOeval's break)
+                if best >= 0 and not crowd_sorted[best] and crowd_sorted[gi]:
+                    break
                 if iou[pi, gi] >= best_iou:
-                    # prefer non-crowd; crowd only if nothing else matched
-                    if best >= 0 and not gt_crowd[best] and gt_crowd[gi]:
-                        continue
                     best, best_iou = gi, iou[pi, gi]
             if best >= 0:
-                if gt_crowd[best]:
+                if crowd_sorted[best]:
                     ignored[ti, order[pi]] = True
                 else:
                     gt_used[best] = True
@@ -121,9 +130,13 @@ def coco_segm_eval(
             # precision envelope + 101-point interpolation
             for k in range(len(prec) - 2, -1, -1):
                 prec[k] = max(prec[k], prec[k + 1])
+            if len(prec) == 0:
+                # every det for this class was crowd-ignored
+                per_class_ap[c, ti] = 0.0
+                continue
             idx = np.searchsorted(rec, RECALL_THRS, side="left")
-            q = np.where(idx < len(prec), prec[np.minimum(idx, max(len(prec) - 1, 0))], 0.0)
-            per_class_ap[c, ti] = q.mean() if len(prec) else 0.0
+            q = np.where(idx < len(prec), prec[np.minimum(idx, len(prec) - 1)], 0.0)
+            per_class_ap[c, ti] = q.mean()
 
     mean_over = lambda arr: float(np.nanmean(arr)) if np.isfinite(arr).any() else 0.0
     ap = mean_over(per_class_ap)

@@ -71,7 +71,8 @@ def _load():
         lib.rle_area.argtypes = [u32p, ctypes.c_int64]
         lib.rle_iou_matrix.restype = None
         lib.rle_iou_matrix.argtypes = [u32p, i64p, i64p, ctypes.c_int64,
-                                       u32p, i64p, i64p, ctypes.c_int64, f64p]
+                                       u32p, i64p, i64p, ctypes.c_int64,
+                                       u8p, f64p]
         lib.rle_to_string.restype = ctypes.c_int64
         lib.rle_to_string.argtypes = [u32p, ctypes.c_int64, ctypes.c_char_p]
         lib.rle_from_string.restype = ctypes.c_int64
@@ -132,18 +133,34 @@ def rle_area(rle: dict) -> int:
     return int(cnts[1::2].sum())
 
 
-def rle_iou_matrix(rles_a: list[dict], rles_b: list[dict]) -> np.ndarray:
-    """Pairwise IoU without decoding (native) or with decode fallback."""
+def rle_iou_matrix(
+    rles_a: list[dict], rles_b: list[dict], iscrowd_b=None
+) -> np.ndarray:
+    """Pairwise IoU without decoding (native) or with decode fallback.
+
+    ``iscrowd_b`` marks columns as crowd regions: for those the score is
+    intersection / area(a) — pycocotools `maskUtils.iou` crowd semantics
+    (reference eval path: mmdet CocoDataset -> pycocotools COCOeval).
+    """
     n, m = len(rles_a), len(rles_b)
     if n == 0 or m == 0:
         return np.zeros((n, m))
+    crowd = (np.zeros(m, np.uint8) if iscrowd_b is None
+             else np.ascontiguousarray(np.asarray(iscrowd_b, np.uint8)))
     lib = _load()
     if lib is None:
         from ..eval.mean_ap_segm import mask_iou
 
         a = np.stack([rle_decode(r) for r in rles_a])
         b = np.stack([rle_decode(r) for r in rles_b])
-        return mask_iou(a, b)
+        iou = mask_iou(a, b)
+        if crowd.any():
+            inter = np.einsum("nhw,mhw->nm", a.astype(np.float64),
+                              b.astype(np.float64))
+            area_a = a.reshape(n, -1).sum(-1).astype(np.float64)
+            ioa = inter / np.maximum(area_a[:, None], 1.0)
+            iou[:, crowd.astype(bool)] = ioa[:, crowd.astype(bool)]
+        return iou
 
     def pack(rles):
         cnts = [np.ascontiguousarray(np.asarray(r["counts"], np.uint32)) for r in rles]
@@ -157,7 +174,7 @@ def rle_iou_matrix(rles_a: list[dict], rles_b: list[dict]) -> np.ndarray:
     lib.rle_iou_matrix(
         _ptr(ca, ctypes.c_uint32), _ptr(oa, ctypes.c_int64), _ptr(la, ctypes.c_int64), n,
         _ptr(cb, ctypes.c_uint32), _ptr(ob, ctypes.c_int64), _ptr(lb, ctypes.c_int64), m,
-        _ptr(out, ctypes.c_double),
+        _ptr(crowd, ctypes.c_uint8), _ptr(out, ctypes.c_double),
     )
     return out
 

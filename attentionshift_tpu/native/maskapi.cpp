@@ -65,8 +65,12 @@ int64_t rle_area(const uint32_t* cnts, int64_t m) {
   return a;
 }
 
-// IoU between two RLEs (merge-scan over runs, no decode).
-double rle_iou(const uint32_t* a, int64_t ma, const uint32_t* b, int64_t mb) {
+// IoU between two RLEs (merge-scan over runs, no decode). When `crowd`
+// is set the denominator is area(a) instead of the union — pycocotools'
+// maskApi `rleIou` crowd semantics (detections overlapping a crowd GT
+// score intersection-over-detection-area).
+double rle_iou(const uint32_t* a, int64_t ma, const uint32_t* b, int64_t mb,
+               uint8_t crowd) {
   int64_t ia = 0, ib = 0;
   int64_t ca = ia < ma ? a[0] : 0, cb = ib < mb ? b[0] : 0;
   uint8_t va = 0, vb = 0;
@@ -88,18 +92,21 @@ double rle_iou(const uint32_t* a, int64_t ma, const uint32_t* b, int64_t mb) {
       vb = 1 - vb;
     }
   }
-  return uni > 0 ? double(inter) / double(uni) : 0.0;
+  int64_t denom = crowd ? rle_area(a, ma) : uni;
+  return denom > 0 ? double(inter) / double(denom) : 0.0;
 }
 
 // Pairwise IoU of N x M RLE sets packed as offsets into a flat cnts pool.
+// crowd_b may be null (no crowd regions) or hold one flag per column.
 void rle_iou_matrix(const uint32_t* cnts_a, const int64_t* off_a,
                     const int64_t* len_a, int64_t n, const uint32_t* cnts_b,
                     const int64_t* off_b, const int64_t* len_b, int64_t m,
-                    double* out) {
+                    const uint8_t* crowd_b, double* out) {
   for (int64_t i = 0; i < n; ++i)
     for (int64_t j = 0; j < m; ++j)
       out[i * m + j] = rle_iou(cnts_a + off_a[i], len_a[i],
-                               cnts_b + off_b[j], len_b[j]);
+                               cnts_b + off_b[j], len_b[j],
+                               crowd_b ? crowd_b[j] : 0);
 }
 
 // COCO char-string compression of runs (LEB128 variant w/ delta coding).
