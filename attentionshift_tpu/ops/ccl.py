@@ -256,6 +256,13 @@ def connected_components_batch(
     # scoped-vmem accounting); keep the stack under ~10MB of the 16MB
     while tile > 1 and tile * per_map * 12 > 10 * 2**20:
         tile = (tile + 1) // 2
+    if tile * per_map * 12 > 10 * 2**20:
+        # a single plane no longer fits VMEM-resident (cam_stride<=2 at
+        # 800x1344): stream through HBM via the XLA segmented-scan path
+        # instead of tripping Mosaic's scoped-vmem stack limit
+        return jax.vmap(
+            lambda p: connected_components(p, connectivity, max_iters)
+        )(masks.transpose(0, 2, 1) if transposed else masks)
     pad_m = (m + tile - 1) // tile * tile
     x = masks.astype(jnp.int32)
     if pad_m != m:

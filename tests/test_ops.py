@@ -300,3 +300,31 @@ def test_connected_components_batch_fallback_matches_single():
     for i in range(5):
         single = np.asarray(connected_components(jnp.asarray(masks[i])))
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_connected_components_batch_large_plane_vmem_guard():
+    """Planes too large for the VMEM-resident Pallas fixpoint (cam_stride<=2
+    at 800x1344) must stream through the XLA path instead of tripping
+    Mosaic's scoped-vmem stack limit — with identical (min-flat-index)
+    labels. The guard returns before pallas_call, so this runs anywhere."""
+    import numpy as np
+    from scipy import ndimage
+
+    from attentionshift_tpu.ops.ccl import (
+        connected_components,
+        connected_components_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    # one plane over the ~218k-cell budget (464x512 padded), plus the
+    # transposed-orientation case
+    for h, w in [(460, 500), (500, 460)]:
+        masks = np.stack(
+            [ndimage.gaussian_filter(rng.rand(h, w), 9) > 0.5 for _ in range(2)]
+        )
+        got = np.asarray(
+            connected_components_batch(jnp.asarray(masks), use_pallas=True)
+        )
+        for i in range(2):
+            want = np.asarray(connected_components(jnp.asarray(masks[i])))
+            np.testing.assert_array_equal(got[i], want)
