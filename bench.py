@@ -69,7 +69,8 @@ def _emit(error: str | None = None) -> None:
             return
         _STATE["emitted"] = True
         rec = {
-            "metric": "pseudomask_images_per_sec_per_chip",
+            "metric": _STATE.get("metric",
+                                 "pseudomask_images_per_sec_per_chip"),
             "value": round(_STATE["value"], 3) if _STATE["value"] else 0.0,
             "unit": "img/s/chip",
             "vs_baseline": round((_STATE["value"] or 0.0) / REF_GPU_ESTIMATE, 3),
@@ -119,7 +120,20 @@ def main():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(view with tensorboard/xprof)")
+    ap.add_argument("--model", default="vits", choices=["vits", "vitb"],
+                    help="backbone size: vits = the VOC flagship (embed 384,"
+                         " 6 heads); vitb = the paper's AttnShift-B COCO row"
+                         " (embed 768, 12 heads, configs/attnshift_coco_vitb"
+                         ".py) — VERDICT round-2 item 5")
+    ap.add_argument("--remat", action="store_true",
+                    help="activation checkpointing on the ViT blocks "
+                         "(inference seed path rarely needs it; knob for "
+                         "memory-cliff probing at vitb scale)")
     args = ap.parse_args()
+
+    if args.model != "vits":
+        # keep the driver's default metric name pinned to the flagship
+        _STATE["metric"] = f"pseudomask_images_per_sec_per_chip_{args.model}"
 
     t_start = time.perf_counter()
     _install_guards(args.budget_s)
@@ -142,9 +156,15 @@ def main():
         overrides["cam_stride"] = args.cam_stride
     if args.map_stride is not None:
         overrides["seed_map_stride"] = args.map_stride
+    if args.model == "vitb":
+        # AttnShift-B (configs/attnshift_coco_vitb.py): COCO classes
+        overrides.update(embed_dim=768, num_heads=12, num_classes=80)
     model = AttnShiftDetector(
-        num_classes=20, embed_dim=384, depth=12, num_heads=6, img_size=224,
-        point_tokens=100, cam_layer=7, max_gt=args.max_gt, use_remat=False,
+        num_classes=overrides.pop("num_classes", 20),
+        embed_dim=overrides.pop("embed_dim", 384), depth=12,
+        num_heads=overrides.pop("num_heads", 6), img_size=224,
+        point_tokens=100, cam_layer=7, max_gt=args.max_gt,
+        use_remat=args.remat,
         use_pallas_attention=on_tpu, use_pallas_ccl=on_tpu, dtype=dtype,
         pad_tokens_to=128, **overrides,
     )
