@@ -289,11 +289,14 @@ class AttnShiftDetector(nn.Module):
             for i, head in enumerate(self.reppoints_heads):
                 if i > 0:
                     # update_fg_map between cascade stages (`stdroi:2737-2760`)
+                    upd_keys = jax.random.split(jax.random.fold_in(k_rp, 100 + i), b)
                     fg_maps, rp_masks = jax.vmap(
-                        lambda f, v, c, cv: refine_fg_maps(
-                            f, v, c, cv, pos_mask_thr=self.pos_mask_thr
+                        lambda f, v, bx, c, cv, fp, bp, gv, k: refine_fg_maps(
+                            f, v, bx, c, cv, fp, bp, gv, k,
+                            pos_mask_thr=self.pos_mask_thr,
                         )
-                    )(fg_maps, vit_feat_d, centers, cvalid)
+                    )(fg_maps, vit_feat_d, pseudo_boxes, centers, cvalid,
+                      pl.fg_proto, pl.bg_proto, gt_valid, upd_keys)
                 cont_keys = jax.random.split(jax.random.fold_in(k_rp, i), b)
                 cont_xy, cont_val = jax.vmap(
                     lambda m, k: contour_points(

@@ -191,31 +191,100 @@ class RepPointsPartHead(nn.Module):
 def refine_fg_maps(
     fg_maps: jnp.ndarray,
     vit_feat: jnp.ndarray,
+    boxes: jnp.ndarray,
     centers: jnp.ndarray,
     center_valid: jnp.ndarray,
+    fg_proto: jnp.ndarray,
+    bg_proto: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng: jax.Array | None = None,
     pos_mask_thr: float = 0.35,
+    bg_points_override: jnp.ndarray | None = None,
 ):
-    """``update_fg_map`` analog (`stdroi:2737-2760`): re-estimate per-
-    instance fg maps as the max cosine similarity to the refined part
-    centers' features; instances whose new map is empty keep the old one.
+    """``update_fg_map`` rebuild (`stdroi:2737-2760` wrapper +
+    ``update_fg_map_single_v3`` `:2814-2845`): re-estimate per-instance
+    fg maps between RepPoints cascade stages.
 
-    fg_maps: (G, H, W); vit_feat: (D, Hp, Wp); centers: (G, P, 2) xy.
+    Per instance, a prototype mixes the Stage-B fg prototype with the
+    refined part centers' (bilinear point-sampled) features — the
+    reference's `:2821` ``torch.mean`` over the whole (n_parts, D) block
+    is a SCALAR (all-dims mean), mixed 0.5/0.5, replicated here. Rows
+    G and G+1 are the Stage-B bg-support prototype and a background
+    supplement averaged from up-to-5 points sampled without replacement
+    from the all-instance background region (``extract_bg_coords:28-50``
+    — which normalises (row, col) by (H, W) and feeds the result to
+    ``point_sample`` as (x, y), i.e. TRANSPOSED sampling; replicated for
+    parity, and harmless: the rows only supply generic non-object
+    features to the winner-take-all). The prototype cosine maps then run
+    3 box-masked winner-take-all refinement iterations
+    (`get_refined_similarity_input_map:710-747`), are upsampled,
+    bg-suppressed by the Stage-B bg prototypes' cosine maps and
+    max-normalised; instances whose new map sums to exactly 0 keep the
+    old one (`:2755-2756`).
+
+    Args:
+        fg_maps: (G, H, W) current full-res fg maps.
+        vit_feat: (D, Hp, Wp) patch features.
+        boxes: (G, 4) pseudo boxes (full-res xyxy) for the box masks.
+        centers: (G, P, 2) refined part centers, xy full-res.
+        center_valid: (G, P) part validity.
+        fg_proto: (G+1, D) Stage-B fg prototypes (last = bg support).
+        bg_proto: (G, D) Stage-B bg prototypes.
+        valid: (G,) instance validity (padding rows never win the
+            argmax and always keep their old map).
+        rng: bg-supplement sampling key (required unless
+            ``bg_points_override`` is given).
+        bg_points_override: (K, 2) normalised sample coords replacing
+            the random draw — parity tests drive both implementations
+            from identical samples.
+
     Returns (new fg maps (G, H, W), pseudo masks (G, H, W) uint8).
     """
+    from ..pseudo.points import topk_in_mask
+    from ..pseudo.refine import _cos_map, refined_similarity_from_map
+
     d, hp, wp = vit_feat.shape
     g, p, _ = centers.shape
     h, w = fg_maps.shape[-2:]
-    col = jnp.clip((centers[..., 0] / 16).astype(jnp.int32), 0, wp - 1)
-    row = jnp.clip((centers[..., 1] / 16).astype(jnp.int32), 0, hp - 1)
-    feats = vit_feat[:, row, col]  # (D, G, P)
-    f = vit_feat.reshape(d, -1)
-    fn = f / jnp.maximum(jnp.linalg.norm(f, axis=0, keepdims=True), 1e-8)
-    cn = feats / jnp.maximum(jnp.linalg.norm(feats, axis=0, keepdims=True), 1e-8)
-    sim = jnp.einsum("dgp,dn->gpn", cn, fn).reshape(g, p, hp, wp)
-    sim = jnp.where(center_valid[..., None, None], sim, -1.0)
-    attn = jnp.maximum(sim.max(axis=1), 0.0)  # (G, Hp, Wp)
-    attn = resize(attn, (h, w))
-    empty = attn.sum(axis=(-2, -1)) <= 0
+
+    # (1) part-center features: mmcv point_sample (bilinear) at
+    # centers / (W, H), matching `:2815-2816`
+    norm_xy = centers.reshape(-1, 2) / jnp.asarray([w, h], jnp.float32)
+    sc_feat = point_sample(vit_feat[None].astype(jnp.float32), norm_xy[None])[0]
+    sc_feat = sc_feat.reshape(d, g, p)
+    nv = center_valid.sum(-1)  # (G,)
+    scal = (sc_feat * center_valid[None]).sum(axis=(0, 2)) / jnp.maximum(nv * d, 1)
+    mixed = jnp.where(
+        (nv > 0)[:, None], 0.5 * scal[:, None] + 0.5 * fg_proto[:g], fg_proto[:g]
+    )
+
+    # (2) background supplement (`:2828-2832`)
+    if bg_points_override is not None:
+        bg_xy = bg_points_override
+    else:
+        bg_map = fg_maps.sum(0) == 0
+        coords, slot_valid, n = topk_in_mask(rng, bg_map, 5)
+        coords = jnp.where(n > 0, coords, jnp.ones_like(coords))
+        bg_xy = (coords.astype(jnp.float32) + 0.5) / jnp.asarray(
+            [h, w], jnp.float32
+        )  # (row, col)/(H, W) consumed as (x, y) — the reference quirk
+    bg_supp = point_sample(vit_feat[None].astype(jnp.float32), bg_xy[None])[0]
+    bg_supp = bg_supp.mean(-1)  # (D,)
+
+    protos = jnp.concatenate(
+        [mixed, fg_proto[g : g + 1], bg_supp[None]], axis=0
+    )  # (G+2, D)
+    sim = _cos_map(vit_feat, protos)
+    valid_rows = jnp.concatenate([valid, jnp.ones((2,), bool)])
+    sel, _ = refined_similarity_from_map(
+        sim, vit_feat, boxes, g, refine_times=3, tau=0.85, is_select=True,
+        valid=valid_rows,
+    )
+    attn = resize(sel[:g], (h, w))
+    bg_attn = resize(_cos_map(vit_feat, bg_proto), (h, w))  # (G, H, W)
+    attn = (1.0 - bg_attn) * attn
+    attn = attn / jnp.maximum(attn.max(axis=(-2, -1), keepdims=True), 1e-8)
+    empty = (attn.sum(axis=(-2, -1)) == 0) | ~valid
     new = jnp.where(empty[:, None, None], fg_maps, attn)
     mx = new.max(axis=(-2, -1), keepdims=True)
     masks = (new > mx * pos_mask_thr).astype(jnp.uint8)

@@ -103,6 +103,8 @@ class PseudoLabels(NamedTuple):
     point_coords: jnp.ndarray  # (G, NP, 2) xy, -1 = pad
     point_labels: jnp.ndarray  # (G, NP) int32 {0 neg, 1 pos, 2 ignore}
     centers: SemanticCenters
+    fg_proto: jnp.ndarray  # (G+1, D) Stage-B fg prototypes (last = bg supp)
+    bg_proto: jnp.ndarray  # (G, D) Stage-B bg prototypes
 
 
 def masks_and_centers(
@@ -193,4 +195,6 @@ def masks_and_centers(
         point_coords=point_coords,
         point_labels=point_labels,
         centers=centers,
+        fg_proto=maps.fg_proto,
+        bg_proto=maps.bg_proto,
     )

@@ -29,6 +29,7 @@ from .points import sample_in_mask, strided_in_mask, topk_in_mask
 __all__ = [
     "point_prototype_sim",
     "refined_similarity",
+    "refined_similarity_from_map",
     "cosine_similarity_refined_map",
     "sample_fgbg_points",
     "sample_mask_points",
@@ -136,6 +137,69 @@ def refined_similarity(
     if proto is None:  # refine_times == 0
         proto = jnp.zeros((m, d), jnp.float32)
         selected = select(cos)[1] if is_select else cos
+    return selected, proto
+
+
+def refined_similarity_from_map(
+    cos_map: jnp.ndarray,
+    vit_feat: jnp.ndarray,
+    boxes: jnp.ndarray,
+    num_box_maps: int,
+    refine_times: int = 3,
+    tau: float = 0.85,
+    is_select: bool = True,
+    valid: jnp.ndarray | None = None,
+):
+    """Prototype refinement seeded from a given cosine map.
+
+    `get_refined_similarity_input_map:710-747` analog: the same
+    threshold -> masked-mean prototype -> cosine loop as
+    ``refined_similarity`` but starting from ``cos_map`` instead of seed
+    points. Faithful ordering detail: the FIRST iteration thresholds the
+    raw input map; box-masking (first ``num_box_maps`` rows) is applied
+    to the loop variable only after each re-estimate, so later
+    iterations threshold box-masked maps (`:735-741` mutates the loop
+    clone in place).
+
+    Args:
+        cos_map: (M, Hp, Wp) initial cosine maps.
+        valid: (M,) row validity for the winner-take-all argmax
+            (padding-instance rows never win).
+
+    Returns:
+        final (M, Hp, Wp) winner-take-all-selected map of the last
+        iteration, final prototypes (M, D).
+    """
+    d, hp, wp = vit_feat.shape
+    m = cos_map.shape[0]
+    bbox_mask = box2mask(jnp.floor(boxes / 16.0), (hp, wp), default_val=0.0)
+    f = vit_feat.reshape(d, -1)
+
+    cos = cos_map
+    selected = cos_map
+    proto = jnp.zeros((m, d), jnp.float32)
+    for _ in range(refine_times):
+        thr = cos.max(axis=(-2, -1), keepdims=True) * tau
+        cosm = jnp.where(cos < thr, 0.0, cos)
+        wsum = jnp.maximum(cosm.reshape(m, -1).sum(-1, keepdims=True), 1e-8)
+        proto = jnp.einsum(
+            "mn,dn->md", cosm.reshape(m, -1).astype(jnp.float32),
+            f.astype(jnp.float32), preferred_element_type=jnp.float32,
+        ) / wsum
+        cos = _cos_map(vit_feat, proto)
+        if is_select:
+            body = jnp.concatenate(
+                [cos[:num_box_maps] * bbox_mask, cos[num_box_maps:]], axis=0
+            )
+            cand = body
+            if valid is not None:
+                cand = jnp.where(valid[:, None, None], body, -jnp.inf)
+            winner = jnp.argmax(cand, axis=0)
+            keep = winner[None] == jnp.arange(m)[:, None, None]
+            selected = jnp.where(keep, body, 0.0)
+            cos = body
+        else:
+            selected = cos
     return selected, proto
 
 

@@ -63,6 +63,10 @@ _NAMES = [
     "corrosion_batch",
     "expension",
     "get_point_coords_wrt_box",
+    "extract_bg_coords",
+    "get_refined_similarity_input_map",
+    "update_fg_map_single_v3",
+    "update_fg_map",
 ]
 
 
@@ -98,6 +102,20 @@ def _host_ccl(x: "torch.Tensor") -> "torch.Tensor":
     return torch.from_numpy(labels)
 
 
+def _point_sample(input, points, align_corners=False, **kwargs):
+    """``mmcv.ops.point_sample`` stand-in: grid_sample over [0, 1] coords."""
+    add_dim = False
+    if points.dim() == 3:
+        add_dim = True
+        points = points.unsqueeze(2)
+    output = F.grid_sample(
+        input, 2.0 * points - 1.0, align_corners=align_corners, **kwargs
+    )
+    if add_dim:
+        output = output.squeeze(3)
+    return output
+
+
 @pytest.fixture(scope="module")
 def ref():
     """Extract the reference functions by name and exec them with torch."""
@@ -126,6 +144,7 @@ def ref():
         math=math,
         random=random,
         connected_components_labeling=_host_ccl,
+        point_sample=_point_sample,
     )
     exec(code, ns)
     return types.SimpleNamespace(**ns), ns
@@ -671,3 +690,91 @@ def test_composed_seed_pipeline_parity(ref):
         got = np.asarray(pl.centers.coords[g])[np.asarray(pl.centers.part_valid[g])]
         assert got.shape == want.shape, f"instance {g}: {got.shape} vs {want.shape}"
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_update_fg_map_cascade_parity(ref):
+    """RepPoints-cascade fg-map re-estimation vs `stdroi:2737-2760`.
+
+    Drives the extracted ``update_fg_map`` wrapper (+
+    ``update_fg_map_single_v3:2814-2845``, ``extract_bg_coords:28-50``,
+    ``get_refined_similarity_input_map:710-747``) and our
+    ``refine_fg_maps`` from identical inputs on a NON-SQUARE grid
+    (Hp=6, Wp=9). The only randomness is the reference's bg-supplement
+    ``randperm``; its draw is captured by calling ``extract_bg_coords``
+    under the same torch seed and injected into our side via
+    ``bg_points_override``.
+
+    Deliberate divergence NOT exercised here: an instance with zero
+    parts — the reference's `:2820` emptiness check tests ``.shape[0]``
+    of a (1, 0, D) split (always 1), so its no-parts branch is
+    unreachable and ``torch.mean`` of the empty block yields NaN; our
+    ``nv > 0`` fallback to the Stage-B prototype is the sane completion.
+    """
+    r, _ = ref
+    from attentionshift_tpu.models.reppoints import refine_fg_maps
+
+    rng = np.random.RandomState(3)
+    G, D, Hp, Wp = 3, 16, 6, 9
+    H, W = Hp * 16, Wp * 16
+    num_parts = [2, 1, 3]
+    P = max(num_parts)
+
+    feats = (rng.randn(D, Hp, Wp) * 0.4).astype(np.float32)
+    # regional structure so prototypes separate
+    feats[:, :3, :4] += rng.randn(D, 1, 1).astype(np.float32)
+    feats[:, 3:, 5:] += rng.randn(D, 1, 1).astype(np.float32)
+
+    boxes = np.asarray(
+        [[10, 8, 70, 60], [60, 20, 130, 90], [20, 50, 120, 92]], np.float32
+    )
+    # fg maps: zero outside each box (a real background region exists)
+    fg = np.zeros((G, H, W), np.float32)
+    for g, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        fg[g, y1:y2, x1:x2] = rng.rand(y2 - y1, x2 - x1)
+
+    centers_flat = np.asarray(
+        [[30, 30], [50, 40], [90, 55], [40, 70], [70, 80], [100, 70]], np.float32
+    )  # xy, concatenated per instance in order (2, 1, 3)
+    centers = np.full((G, P, 2), -1.0, np.float32)
+    cval = np.zeros((G, P), bool)
+    off = 0
+    for g, n in enumerate(num_parts):
+        centers[g, :n] = centers_flat[off : off + n]
+        cval[g, :n] = True
+        off += n
+
+    fp = (rng.randn(G + 1, D) * 0.5).astype(np.float32)
+    bp = (rng.randn(G, D) * 0.5).astype(np.float32)
+
+    # ---- reference side
+    fg_t = _t(fg)
+    bg_map_t = fg_t.sum(0) == 0
+    torch.manual_seed(11)
+    bg_coords = r.extract_bg_coords(bg_map_t, num_groups=1)  # (1, 5, 2)
+
+    tokens = _t(feats.reshape(D, -1).T)  # (N, D) patch tokens
+    vit_feat_t = torch.cat([torch.zeros(1, D), tokens])[None]  # (1, 1+N, D)
+    shim = types.SimpleNamespace()
+    shim.update_fg_map_single_v3 = types.MethodType(
+        r.update_fg_map_single_v3, shim
+    )
+    torch.manual_seed(11)  # reproduce the extract_bg_coords draw inside
+    ref_attn, ref_masks = r.update_fg_map(
+        shim, [fg_t], None, vit_feat_t, [_t(centers_flat)], [num_parts],
+        [_t(fp)[:, :, None, None]], [_t(bp)[:, :, None, None]], [_t(boxes)],
+        0.35,
+    )
+    ref_attn = ref_attn[0].numpy()
+    ref_masks = ref_masks[0].astype(np.uint8)
+
+    # ---- ours
+    new, masks = refine_fg_maps(
+        _j(fg), _j(feats), _j(boxes), _j(centers), jnp.asarray(cval),
+        _j(fp), _j(bp), jnp.ones((G,), bool),
+        bg_points_override=_j(bg_coords[0].numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(new), ref_attn, rtol=1e-4, atol=1e-5)
+    mask_diff = np.abs(
+        np.asarray(masks, np.float32) - ref_masks.astype(np.float32)
+    ).mean()
+    assert mask_diff < 1e-3, mask_diff

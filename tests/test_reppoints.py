@@ -89,19 +89,30 @@ def test_refine_fg_maps():
     rng = np.random.RandomState(1)
     D, Hp, Wp = 8, 8, 8
     H, W = 128, 128
-    feat = np.ones((D, Hp, Wp), np.float32) * 0.01
-    feat[0, :4, :] = 1.0  # distinctive top half
+    feat = (0.05 * rng.randn(D, Hp, Wp)).astype(np.float32)
+    feat[0, :4, :] += 2.0  # distinctive top half
+    feat[1, 4:, :] += 2.0  # distinctive bottom half
     fg = np.zeros((2, H, W), np.float32)
     fg[0, :64, :] = 1.0
     fg[1, 64:, :] = 1.0
+    boxes = jnp.asarray([[0.0, 0.0, 127.0, 63.0], [0.0, 64.0, 127.0, 127.0]])
     centers = jnp.asarray([[[32.0, 16.0], [96.0, 32.0]],
-                           [[-1.0, -1.0], [-1.0, -1.0]]])
-    cval = jnp.asarray([[True, True], [False, False]])
-    new, masks = refine_fg_maps(jnp.asarray(fg), jnp.asarray(feat), centers, cval)
+                           [[32.0, 96.0], [96.0, 96.0]]])
+    cval = jnp.asarray([[True, True], [True, True]])
+    # fg prototypes = the two halves' mean features (+ a bg-support row);
+    # bg prototypes orthogonal-ish noise
+    fp = np.stack([feat[:, :4].mean((1, 2)), feat[:, 4:].mean((1, 2)),
+                   0.05 * rng.randn(D).astype(np.float32)])
+    bp = (0.05 * rng.randn(2, D)).astype(np.float32)
+    valid = jnp.asarray([True, False])  # instance 1 is padding
+    new, masks = refine_fg_maps(
+        jnp.asarray(fg), jnp.asarray(feat), boxes, centers, cval,
+        jnp.asarray(fp), jnp.asarray(bp), valid, jax.random.PRNGKey(0),
+    )
     new = np.asarray(new)
     assert new.shape == (2, H, W)
     # instance 0: refined map peaks in the top half (center features there)
     assert new[0, :64].mean() > new[0, 64:].mean()
-    # instance 1 has no valid centers -> keeps old map
+    # instance 1 is a padding slot -> keeps its old map
     np.testing.assert_allclose(new[1], fg[1], atol=1e-5)
     assert masks.dtype == np.uint8 or masks.dtype == jnp.uint8
