@@ -436,3 +436,119 @@ def test_bbox_from_labels_batch_matches_single():
     new = bbox_from_labels_batch(labels, pts)
     np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(new[-1]), [0.0, 0.0, 1.0, 1.0])
+
+
+def test_stride_fast_vs_exact_gate():
+    """Regression gate for the stride approximations (the shipped
+    `seed_map_stride=4` / `cam_stride=4` defaults vs the exact stride-1
+    reference semantics), pinned by CI instead of a one-off study
+    (FIDELITY.md). Deterministic: shared MIL choice, boxes and Stage-B
+    seed points (`points_override`); only the stride differs. On
+    part-structured features the fast path must stay within these
+    bounds; a kernel or resize change that widens the drift fails here.
+    """
+    from attentionshift_tpu.ops.image import resize
+    from attentionshift_tpu.pseudo.engine import candidate_boxes, masks_and_centers
+    from attentionshift_tpu.pseudo.refine import sample_fgbg_points
+
+    rng = np.random.RandomState(21)
+    G, D, Hp, Wp = 2, 12, 10, 17  # 800x1344-aspect patch grid
+    H, W = Hp * 16, Wp * 16
+
+    # part-structured features: per-instance interior with two part tones
+    feat = np.ones((D, Hp, Wp), np.float32) * 0.1
+    feat[3] = 3.0  # background signature ...
+    regions = [(slice(1, 5), slice(2, 8)), (slice(5, 9), slice(9, 16))]
+    for g, (rs, cs) in enumerate(regions):
+        feat[3, rs, cs] = 0.0  # ... cleared on the object interior
+        feat[g, rs, cs] = 2.0
+        half = (rs.start + rs.stop) // 2
+        feat[4 + g, rs.start : half, cs] = 1.5  # part A tone
+        feat[6 + g, half : rs.stop, cs] = 1.5  # part B tone
+    feat += rng.randn(D, Hp, Wp).astype(np.float32) * 0.01
+
+    # smooth CAMs peaked on each instance region (patch res)
+    yy, xx = np.mgrid[0:Hp, 0:Wp]
+    cams_patch = np.zeros((G, Hp, Wp), np.float32)
+    centers_rc = [(3, 5), (7, 12)]
+    for g, (br, bc) in enumerate(centers_rc):
+        cams_patch[g] = np.exp(-((yy - br) ** 2 + (xx - bc) ** 2) / (2 * 2.0**2))
+    gt_points = jnp.asarray(
+        [[bc * 16 + 8.0, br * 16 + 8.0] for br, bc in centers_rc], jnp.float32
+    )
+    gt_labels = jnp.asarray([1, 2], jnp.int32)
+    valid = jnp.ones((G,), bool)
+    boxes = jnp.asarray(
+        [[r.start * 16, rs.start * 16, r.stop * 16, rs.stop * 16]
+         for (rs, r) in regions], jnp.float32
+    )[:, [0, 1, 2, 3]]
+    boxes = jnp.asarray(
+        [[regions[g][1].start * 16.0, regions[g][0].start * 16.0,
+          regions[g][1].stop * 16.0, regions[g][0].stop * 16.0]
+         for g in range(G)], jnp.float32
+    )
+
+    # ---- Stage A gate: cam_stride 4 vs 1, same CAM rows
+    rows = jnp.asarray(
+        np.concatenate(
+            [np.zeros((1, G, 1), np.float32),  # cls slot
+             cams_patch.reshape(1, G, -1),
+             np.zeros((1, G, G), np.float32)], axis=-1)
+    )  # (L=1, P=G, T)
+    assigned = jnp.arange(G)
+    bx_fast, _ = candidate_boxes(rows, assigned, gt_points, (Hp, Wp), (H, W),
+                                 cam_stride=4, ccl_iters=64)
+    bx_exact, _ = candidate_boxes(rows, assigned, gt_points, (Hp, Wp), (H, W),
+                                  cam_stride=1, ccl_iters=256)
+    for g in range(G):
+        a, b = np.asarray(bx_fast[g, 0]), np.asarray(bx_exact[g, 0])
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+        ar = lambda r: (r[2] - r[0]) * (r[3] - r[1])
+        iou = inter / max(ar(a) + ar(b) - inter, 1e-6)
+        assert iou >= 0.9, (g, a, b, iou)
+
+    # ---- Stage B/C gate: map_stride 4 vs 1, shared seed points.
+    # Seeds are CONSTRUCTED (deterministic grids strictly inside each
+    # instance region / strictly in the background) rather than sampled:
+    # the comparison then isolates the stride, not seed-draw luck.
+    cams_full = resize(jnp.asarray(cams_patch), (H, W))
+    cams_dec = resize(jnp.asarray(cams_patch), (H // 4, W // 4))
+
+    def grid_xy(rs, cs, k=20):
+        r0, r1 = rs.start * 16 + 8, rs.stop * 16 - 8
+        c0, c1 = cs.start * 16 + 8, cs.stop * 16 - 8
+        g = int(np.ceil(np.sqrt(k)))
+        ys = np.linspace(r0, r1, g)
+        xs = np.linspace(c0, c1, g)
+        pts = np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2)[:k]
+        return pts.astype(np.float32)
+
+    fg_pts = np.stack([grid_xy(*regions[0]), grid_xy(*regions[1]),
+                       grid_xy(slice(0, 1), slice(0, Wp))])  # bg-support row
+    bg_pts = np.stack([grid_xy(slice(Hp - 1, Hp), slice(0, Wp))] * G)
+    override = (jnp.asarray(fg_pts), jnp.asarray(bg_pts))
+    common = dict(gt_points=gt_points, gt_labels=gt_labels, valid=valid,
+                  points_override=override, refine_times=2,
+                  mean_shift_times=4, num_semantic_points=3)
+    pf = masks_and_centers(jax.random.PRNGKey(5), cams_dec, jnp.asarray(feat),
+                           boxes, map_stride=4, img_hw=(H, W), **common)
+    pe = masks_and_centers(jax.random.PRNGKey(5), cams_full, jnp.asarray(feat),
+                           boxes, map_stride=1, img_hw=(H, W), **common)
+
+    for g in range(G):
+        ma = np.asarray(pf.pseudo_masks[g]) > 0
+        mb = np.asarray(pe.pseudo_masks[g]) > 0
+        iou = (ma & mb).sum() / max((ma | mb).sum(), 1)
+        assert iou >= 0.9, (g, iou)
+        a = np.asarray(pf.map_fg[g]).ravel()
+        b = np.asarray(pe.map_fg[g]).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr >= 0.98, (g, corr)
+        ca = np.asarray(pf.centers.coords[g])[np.asarray(pf.centers.part_valid[g])]
+        cb = np.asarray(pe.centers.coords[g])[np.asarray(pe.centers.part_valid[g])]
+        if len(ca) and len(cb):
+            d = np.linalg.norm(ca[:, None] - cb[None], axis=-1)
+            # each fast center within 12px of SOME exact center
+            assert d.min(axis=1).max() <= 12.0, (g, d.min(axis=1))

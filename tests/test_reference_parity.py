@@ -551,7 +551,18 @@ def test_point_coords_wrt_box_parity(ref):
 
 
 @pytest.mark.slow
-def test_composed_seed_pipeline_parity(ref):
+@pytest.mark.parametrize(
+    "hp,wp,blob_rc",
+    [
+        (12, 12, ((3, 3), (8, 4), (5, 9))),
+        pytest.param(
+            10, 17, ((3, 4), (7, 6), (5, 13)),
+            marks=[pytest.mark.slow, pytest.mark.medium],
+            id="nonsquare-800x1344-aspect",
+        ),
+    ],
+)
+def test_composed_seed_pipeline_parity(ref, hp, wp, blob_rc):
     """The COMPOSED seed_pseudo_gt chain, reference vs ours.
 
     Earlier tests verify each stage in isolation; this one threads one
@@ -574,7 +585,7 @@ def test_composed_seed_pipeline_parity(ref):
 
     rng = np.random.RandomState(11)
     L, P, G, D = 4, 10, 3, 16
-    Hp = Wp = 12
+    Hp, Wp = hp, wp  # second variant: 10x17, the 800x1344 aspect ratio
     H, W = Hp * 16, Wp * 16
     N = Hp * Wp
     T = 1 + N + P
@@ -582,7 +593,7 @@ def test_composed_seed_pipeline_parity(ref):
     # --- structured attention: the assigned point tokens' rows carry a
     # gaussian blob over the patch grid; everything else is noise
     assigned = np.asarray([1, 4, 7], np.int64)
-    blob_rc = [(3, 3), (8, 4), (5, 9)]  # patch-grid (row, col) per gt
+    # blob_rc: patch-grid (row, col) per gt
     yy, xx = np.mgrid[0:Hp, 0:Wp]
     attns = np.zeros((L, 1, T, T), np.float32)
     for l in range(L):

@@ -65,12 +65,14 @@ FAST = dict(cam_stride=8, seed_map_stride=4, ccl_iters=64)
 EXACT = dict(cam_stride=1, seed_map_stride=1, ccl_iters=256)
 
 
-def make_sample(rng, i):
-    img = rng.randn(H, W, 3).astype(np.float32) * 0.1
+def make_sample(rng, i, h=None, w=None):
+    h = h or H
+    w = w or W
+    img = rng.randn(h, w, 3).astype(np.float32) * 0.1
     pts, lbls = [], []
-    yy, xx = np.mgrid[:H, :W]
+    yy, xx = np.mgrid[:h, :w]
     for j in range(2):
-        cx, cy = rng.randint(100, 412), rng.randint(100, 412)
+        cx, cy = rng.randint(100, w - 100), rng.randint(100, h - 100)
         r = rng.randint(40, 90)
         # two-lobed instance: overlapping discs with distinct tones give
         # the mean-shift engine actual part structure to find (uniform
@@ -90,14 +92,14 @@ def make_sample(rng, i):
     return img, g_pts, g_lbl, g_val
 
 
-def train_params(steps: int):
+def train_params(steps: int, n_images: int = 8):
     """Partially train the flagship model so attention is structured."""
     model = AttnShiftDetector(
         **BASE, **FAST, use_pallas_attention=True, use_pallas_ccl=True,
         dtype=jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
-    data = [make_sample(rng, i) for i in range(8)]
+    data = [make_sample(rng, i) for i in range(n_images)]
     key = jax.random.PRNGKey(0)
     img0 = jnp.zeros((B, H, W, 3), jnp.float32)
     wh = jnp.asarray([[float(W), float(H)]])
@@ -114,7 +116,7 @@ def train_params(steps: int):
     step = make_train_step(model, donate=False)
     t0 = time.time()
     for it in range(steps):
-        img, pts, lbl, val = data[it % 8]
+        img, pts, lbl, val = data[it % len(data)]
         batch = dict(img=jnp.asarray(img)[None], gt_points=jnp.asarray(pts)[None],
                      gt_labels=jnp.asarray(lbl)[None], gt_valid=jnp.asarray(val)[None],
                      img_wh=wh)
@@ -237,7 +239,8 @@ def isolated_stride(params, images):
     @functools.lru_cache(maxsize=None)
     def boxes_fn(stride, iters):
         return jax.jit(lambda r, t, p: candidate_boxes(
-            r, t, p, (32, 32), (H, W), cam_stride=stride, ccl_iters=iters)[0])
+            r, t, p, (H // 16, W // 16), (H, W), cam_stride=stride,
+            ccl_iters=iters)[0])
 
     @functools.lru_cache(maxsize=None)
     def bc_fn(ms):
@@ -370,12 +373,33 @@ def synthetic_center_drift():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-steps", type=int, default=60)
+    ap.add_argument("--train-images", type=int, default=8)
     ap.add_argument("--eval-images", type=int, default=8)
+    ap.add_argument("--eval-size", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="evaluate the drift at this resolution instead of "
+                         "the 512x512 training size (e.g. 800 1344 — the "
+                         "flagship bench shape; sizes must be multiples of "
+                         "16)")
+    ap.add_argument("--ckpt", default=None, metavar="DIR",
+                    help="params-only orbax checkpoint to study instead of "
+                         "inline training (produce with "
+                         "tools/analysis/learning_check.py --save-ckpt)")
     args = ap.parse_args()
 
-    params = train_params(args.train_steps)
+    if args.ckpt:
+        from attentionshift_tpu.train.checkpoint import restore_params
+
+        tree = restore_params(os.path.abspath(args.ckpt))
+        params = tree if "params" in tree else {"params": tree}
+    else:
+        params = train_params(args.train_steps, args.train_images)
     params = jax.tree.map(lambda x: x.astype(jnp.float32)
                           if x.dtype == jnp.bfloat16 else x, params)
+
+    if args.eval_size:
+        global H, W
+        H, W = args.eval_size
 
     fast = seed_fn(FAST)
     exact = seed_fn(EXACT)

@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="plain-XLA attention/CCL (kernel-vs-recipe A/B)")
     ap.add_argument("--f32", action="store_true", help="float32 model")
+    ap.add_argument("--train-images", type=int, default=8,
+                    help="size of the synthetic training corpus")
     ap.add_argument("--save-ckpt", default=None, metavar="DIR",
                     help="save the trained params (orbax, params-only) — "
                          "the fixture for `bench.py --ckpt` (throughput on "
@@ -104,7 +106,7 @@ def main():
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
-    train_data = [make_sample(rng, i) for i in range(8)]
+    train_data = [make_sample(rng, i) for i in range(args.train_images)]
     held = [make_sample(np.random.RandomState(100 + i), i)
             for i in range(args.eval_images)]
 
@@ -163,7 +165,7 @@ def main():
             print(json.dumps(table[-1]), flush=True)
         if it == args.steps:
             break
-        img, pts, lbl, val, _, _ = train_data[it % 8]
+        img, pts, lbl, val, _, _ = train_data[it % len(train_data)]
         batch = dict(
             img=jnp.asarray(img)[None], gt_points=jnp.asarray(pts)[None],
             gt_labels=jnp.asarray(lbl)[None], gt_valid=jnp.asarray(val)[None],
