@@ -75,6 +75,13 @@ def _emit(error: str | None = None) -> None:
             "unit": "img/s/chip",
             "vs_baseline": round((_STATE["value"] or 0.0) / REF_GPU_ESTIMATE, 3),
         }
+        if _STATE.get("flops_per_img") and _STATE["value"]:
+            # model FLOPs utilisation at the measured rate (v5e bf16 peak
+            # 197 TF/s); an absolute efficiency figure alongside the
+            # derived-denominator vs_baseline
+            rec["mfu"] = round(
+                _STATE["flops_per_img"] * _STATE["value"] / 197e12, 4
+            )
         if _STATE["partial"]:
             rec["partial"] = True
             rec["phase"] = _STATE["phase"]
@@ -236,6 +243,17 @@ def main():
     _STATE["phase"] = "compile"
     out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(0))
     sync(out)
+    # analytic FLOPs of the compiled step (XLA cost analysis) -> MFU in
+    # the result line, so the headline rate is pinned to a
+    # device-utilisation figure independent of the vs_baseline
+    # denominator (VERDICT round-2 weak #2). v5e peak: 197 TF/s bf16.
+    try:
+        cost = seed.lower(
+            params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(0)
+        ).compile().cost_analysis()
+        _STATE["flops_per_img"] = float(cost.get("flops", 0.0)) / b
+    except Exception:
+        _STATE["flops_per_img"] = 0.0
     t_compiled = time.perf_counter()
     for i in range(1, args.warmup):
         out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(i))
