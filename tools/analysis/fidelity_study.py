@@ -392,8 +392,10 @@ def main():
 
         tree = restore_params(os.path.abspath(args.ckpt))
         params = tree if "params" in tree else {"params": tree}
+        provenance = f"checkpoint `{args.ckpt}`"
     else:
         params = train_params(args.train_steps, args.train_images)
+        provenance = f"{args.train_steps} inline train steps"
     params = jax.tree.map(lambda x: x.astype(jnp.float32)
                           if x.dtype == jnp.bfloat16 else x, params)
 
@@ -443,7 +445,9 @@ def main():
     syn = synthetic_center_drift()
 
     report = dict(
-        train_steps=args.train_steps, eval_images=args.eval_images,
+        params_provenance=provenance,
+        train_steps=None if args.ckpt else args.train_steps,
+        eval_images=args.eval_images,
         end_to_end=e2e.report(),
         sampling_noise_floor=floor.report(),
         isolated_stride=iso,
@@ -467,7 +471,7 @@ def main():
         "Defaults (`cam_stride=8`, `seed_map_stride=4`, RoIAlign `sampling_ratio=2`)",
         "vs exact reference semantics (`cam_stride=1`, `seed_map_stride=1`,",
         "`ccl_iters=256`), measured on a partially-trained flagship ViT-S at",
-        f"{H}x{W} ({args.train_steps} train steps on the synthetic blob dataset,",
+        f"{H}x{W} ({provenance}, trained on the synthetic blob dataset,",
         "held-out eval draws). Produced by `tools/analysis/fidelity_study.py`.",
         "",
         "Three comparisons (per-instance distributions):",
