@@ -63,7 +63,11 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def mesh_from_config(parallel_cfg: dict | None, devices: Sequence[Any] | None = None) -> Mesh:
+def mesh_from_config(
+    parallel_cfg: dict | None,
+    devices: Sequence[Any] | None = None,
+    batch_size: int | None = None,
+) -> Mesh:
     """Build the device mesh from a config ``parallel`` block.
 
     The block (all keys optional):
@@ -74,13 +78,23 @@ def mesh_from_config(parallel_cfg: dict | None, devices: Sequence[Any] | None = 
         )
     The reference needed only DP (`run_train.py:9`); model/sequence are
     the TPU extensions (SURVEY.md section 2.11).
+
+    ``batch_size``: when given and ``data`` is not explicitly configured,
+    the data axis is capped at the largest divisor of the global batch
+    (batch sharding requires batch % data == 0 — a batch-1 smoke run on
+    an 8-device host must not build a data=8 mesh it cannot feed).
     """
     cfg = dict(parallel_cfg or {})
     data = cfg.get("data")
+    model = int(cfg.get("model", 1))
+    if data is None and batch_size is not None:
+        n = len(devices if devices is not None else jax.devices()) // model
+        data = max(d for d in range(1, min(n, batch_size) + 1)
+                   if batch_size % d == 0)
     return make_mesh(
         devices=devices,
         data=None if data is None else int(data),
-        model=int(cfg.get("model", 1)),
+        model=model,
     )
 
 

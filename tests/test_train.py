@@ -383,3 +383,21 @@ def test_sequence_parallel_matches_single_device():
             np.asarray(out[k], np.float32), np.asarray(ref[k], np.float32),
             rtol=2e-4, atol=2e-5,
         )
+
+
+def test_mesh_from_config_batch_cap():
+    """Default data-axis extent must divide the global batch: a batch-1
+    CLI smoke on an 8-device host must not build a data=8 mesh it cannot
+    feed (regression: tools/train.py shard_batch ValueError)."""
+    from attentionshift_tpu.parallel.mesh import mesh_from_config
+
+    devs = jax.devices("cpu")[:8]
+    assert dict(mesh_from_config(None, devs, batch_size=1).shape)["data"] == 1
+    assert dict(mesh_from_config(None, devs, batch_size=4).shape)["data"] == 4
+    # batch 6 on 8 devices: largest divisor of 6 that fits is 6
+    assert dict(mesh_from_config(None, devs, batch_size=6).shape)["data"] == 6
+    # explicit config wins over the cap
+    m = mesh_from_config({"data": 2}, devs, batch_size=8)
+    assert dict(m.shape)["data"] == 2
+    # no batch hint: all devices (the pre-existing behaviour)
+    assert dict(mesh_from_config(None, devs).shape)["data"] == 8

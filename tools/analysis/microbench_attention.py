@@ -281,6 +281,119 @@ def main():
             return out
 
         run("v4-mxsum", v4)
+    if sel("v5-batched"):
+        # all heads in ONE batched dot_general pair: exposes cross-head
+        # parallelism to Mosaic as a single op instead of a Python loop
+        # (the round-2 manual interleave was neutral; this lets the
+        # scheduler do it). VMEM: logits f32 (H,128,T) ~13 MB at the
+        # bench shape + e bf16 + resident K/V — near the physical limit,
+        # so it either pipelines or dies; measure, don't guess.
+        import jax.experimental.pallas as pl
+        from attentionshift_tpu.ops.attention import (
+            _COMPILER_PARAMS, _LOG2E, _pad_bias)
+
+        def kern5(q_ref, k_ref, v_ref, out_ref, mean_ref, *, nh):
+            tpad = k_ref.shape[2]
+            bias = _pad_bias(tpad, tpad, tpad)[None]
+            dd = q_ref.shape[-1]
+            qs = q_ref[0] * jnp.asarray(dd ** -0.5 * _LOG2E, q_ref.dtype)
+            logits = jax.lax.dot_general(
+                qs, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) + bias  # (H, TQ, Tpad)
+            e = jnp.exp2(jnp.minimum(logits, 100.0)).astype(jnp.bfloat16)
+            s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            recip = 1.0 / jnp.maximum(s, 1e-30)
+            o = jax.lax.dot_general(
+                e, v_ref[0], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * recip
+            out_ref[0] = o.astype(out_ref.dtype)
+            mean_ref[0] = jnp.mean(
+                e.astype(jnp.float32) * recip, axis=0).astype(mean_ref.dtype)
+
+        def v5(q, k, v):
+            bb, hh, tt, dd = q.shape
+            tile = 128
+            out, mean = pl.pallas_call(
+                functools.partial(kern5, nh=hh),
+                out_shape=(
+                    jax.ShapeDtypeStruct((bb, hh, tt, dd), q.dtype),
+                    jax.ShapeDtypeStruct((bb, tt, tt), q.dtype),
+                ),
+                grid=(bb, tt // tile),
+                in_specs=[
+                    pl.BlockSpec((1, hh, tile, dd), lambda bi, qi: (bi, 0, qi, 0)),
+                    pl.BlockSpec((1, hh, tt, dd), lambda bi, qi: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, hh, tt, dd), lambda bi, qi: (bi, 0, 0, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, hh, tile, dd), lambda bi, qi: (bi, 0, qi, 0)),
+                    pl.BlockSpec((1, tile, tt), lambda bi, qi: (bi, qi, 0)),
+                ),
+                compiler_params=_COMPILER_PARAMS,
+            )(q, k, v)
+            return out
+
+        run("v5-batched", v5)
+    if sel("v6-fusedsum"):
+        # row-sum folded INTO the PV matmul: V gets 8 all-ones columns
+        # appended (d 64 -> 72; the MXU pads the contraction to 128 lanes
+        # either way, so the extra columns are free) and the softmax
+        # denominator falls out of the same dot that produces PV — the
+        # full-width VPU row-sum pass disappears.
+        import jax.experimental.pallas as pl
+        from attentionshift_tpu.ops.attention import (
+            _COMPILER_PARAMS, _LOG2E, _pad_bias)
+
+        def kern6(q_ref, k_ref, v_ref, out_ref, mean_ref, *, nh):
+            tpad = k_ref.shape[2]
+            bias = _pad_bias(tpad, tpad, tpad)
+            dd = q_ref.shape[-1]
+            acc = None
+            for hh in range(nh):
+                qh = q_ref[0, hh] * jnp.asarray(dd ** -0.5 * _LOG2E, q_ref.dtype)
+                logits = jax.lax.dot_general(
+                    qh, k_ref[0, hh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias
+                e = jnp.exp2(jnp.minimum(logits, 100.0)).astype(jnp.bfloat16)
+                osum = jax.lax.dot_general(
+                    e, v_ref[0, hh], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (TQ, d+8): PV in [:d], row-sum in [d:]
+                recip = 1.0 / jnp.maximum(osum[:, dd:dd + 1], 1e-30)
+                out_ref[0, hh] = (osum[:, :dd] * recip).astype(out_ref.dtype)
+                contrib = e.astype(jnp.float32) * (recip * (1.0 / nh))
+                acc = contrib if acc is None else acc + contrib
+            mean_ref[0] = acc.astype(mean_ref.dtype)
+
+        def v6(q, k, v):
+            bb, hh, tt, dd = q.shape
+            tile = 128
+            vx = jnp.concatenate(
+                [v, jnp.ones((bb, hh, tt, 8), v.dtype)], axis=-1)
+            out, mean = pl.pallas_call(
+                functools.partial(kern6, nh=hh),
+                out_shape=(
+                    jax.ShapeDtypeStruct((bb, hh, tt, dd), q.dtype),
+                    jax.ShapeDtypeStruct((bb, tt, tt), q.dtype),
+                ),
+                grid=(bb, tt // tile),
+                in_specs=[
+                    pl.BlockSpec((1, hh, tile, dd), lambda bi, qi: (bi, 0, qi, 0)),
+                    pl.BlockSpec((1, hh, tt, dd), lambda bi, qi: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, hh, tt, dd + 8), lambda bi, qi: (bi, 0, 0, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, hh, tile, dd), lambda bi, qi: (bi, 0, qi, 0)),
+                    pl.BlockSpec((1, tile, tt), lambda bi, qi: (bi, qi, 0)),
+                ),
+                compiler_params=_COMPILER_PARAMS,
+            )(q, k, vx)
+            return out
+
+        run("v6-fusedsum", v6)
     if sel("xla"):
         def xla(q, k, v):
             logits = jnp.einsum(

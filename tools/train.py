@@ -232,7 +232,8 @@ def main():
     mesh_devices = (
         jax.devices("cpu") if os.environ.get("ATTNSHIFT_PLATFORM") == "cpu" else None
     )
-    mesh = mesh_from_config(pcfg, mesh_devices)
+    mesh = mesh_from_config(pcfg, mesh_devices,
+                            batch_size=int(cfg.data.batch_size))
     if int(mesh.shape.get("model", 1)) > 1 or pcfg.get("sequence_parallel"):
         print(f"parallel: mesh {dict(mesh.shape)}, "
               f"sp={bool(pcfg.get('sequence_parallel', False))}")
