@@ -157,9 +157,22 @@ def masks_and_centers(
     )
     map_fg_full = maps.map_fg
     if map_stride > 1:
-        map_fg_full = resize(maps.map_fg, img_hw)
+        # EXACT full-res fg map at any stride: the refinement runs at
+        # patch resolution, so the stride grid only hosts the pointwise
+        # (1-bg)*fg product + normalisation. Rebuilding that chain at
+        # full res from the final patch-res fields reproduces the
+        # stride-1 path bit-for-bit (same resize, same product, same
+        # max) — the pseudo masks and the returned map_fg carry ZERO
+        # stride drift; only the stochastic point draws and the Stage-C
+        # prologue still see the decimated grid. One fused
+        # upsample/product/reduce pass over (G, H, W).
+        fg_full = resize(maps.fg_patch, img_hw)
+        bg_full = resize(maps.bg_patch, img_hw)
+        ret_full = (1.0 - bg_full) * fg_full
+        val = jnp.maximum(ret_full.max(axis=(-2, -1), keepdims=True), 1e-8)
+        map_fg_full = ret_full / val
     # binary pseudo masks (`seed_pseudo_gt:2356-2358`)
-    mx = maps.map_fg.max(axis=(-2, -1), keepdims=True)
+    mx = map_fg_full.max(axis=(-2, -1), keepdims=True)
     pseudo_masks = (map_fg_full > mx * pos_mask_thr).astype(jnp.uint8)
     pseudo_masks = pseudo_masks * valid[:, None, None].astype(jnp.uint8)
 

@@ -271,6 +271,13 @@ class RefinedMaps(NamedTuple):
     bg_proto: jnp.ndarray  # (G, D) final bg prototypes
     points_fg: jnp.ndarray
     points_bg: jnp.ndarray
+    # FINAL patch-res similarity fields (G, Hp, Wp), pre-resize. The
+    # whole refinement runs at patch resolution; the (H, W) grid only
+    # hosts the pointwise product/normalise chain — so any consumer can
+    # rebuild the EXACT stride-1 full-res maps from these regardless of
+    # the stride this call ran at (see engine.masks_and_centers).
+    fg_patch: jnp.ndarray
+    bg_patch: jnp.ndarray
 
 
 def cosine_similarity_refined_map(
@@ -317,6 +324,7 @@ def cosine_similarity_refined_map(
     cos_bg, bg_proto = refined_similarity(
         points_bg, vit_feat, boxes, g, refine_times, obj_tau, is_select=False
     )
+    fg_patch, bg_patch = cos_fg[:g], cos_bg
     cos_fg = resize(cos_fg, (h, w))[:g]
     cos_bg = resize(cos_bg, (h, w))
     ret = (1.0 - cos_bg) * cos_fg
@@ -330,6 +338,8 @@ def cosine_similarity_refined_map(
         bg_proto=bg_proto,
         points_fg=points_fg,
         points_bg=points_bg,
+        fg_patch=fg_patch,
+        bg_patch=bg_patch,
     )
 
 

@@ -537,15 +537,15 @@ def test_stride_fast_vs_exact_gate():
     pe = masks_and_centers(jax.random.PRNGKey(5), cams_full, jnp.asarray(feat),
                            boxes, map_stride=1, img_hw=(H, W), **common)
 
+    # With shared seeds the full-res fg map and pseudo masks are now
+    # EXACT at any stride (engine.masks_and_centers rebuilds the full-res
+    # product chain from the final patch-res fields), so the gate pins
+    # bit-equality, not a drift bound.
+    np.testing.assert_array_equal(
+        np.asarray(pf.pseudo_masks), np.asarray(pe.pseudo_masks))
+    np.testing.assert_allclose(
+        np.asarray(pf.map_fg), np.asarray(pe.map_fg), atol=1e-6)
     for g in range(G):
-        ma = np.asarray(pf.pseudo_masks[g]) > 0
-        mb = np.asarray(pe.pseudo_masks[g]) > 0
-        iou = (ma & mb).sum() / max((ma | mb).sum(), 1)
-        assert iou >= 0.9, (g, iou)
-        a = np.asarray(pf.map_fg[g]).ravel()
-        b = np.asarray(pe.map_fg[g]).ravel()
-        corr = np.corrcoef(a, b)[0, 1]
-        assert corr >= 0.98, (g, corr)
         ca = np.asarray(pf.centers.coords[g])[np.asarray(pf.centers.part_valid[g])]
         cb = np.asarray(pe.centers.coords[g])[np.asarray(pe.centers.part_valid[g])]
         if len(ca) and len(cb):

@@ -304,7 +304,7 @@ def isolated_stride(params, images):
     rep = acc.report()
     rep["stage_a_box_iou_all_layers"] = pct(acc_box, (10, 50, 90))
     rep["stage_a_box_iou_stride16"] = pct(acc_box16, (10, 50, 90))
-    return rep
+    return rep, acc
 
 
 def synthetic_center_drift():
@@ -323,7 +323,7 @@ def synthetic_center_drift():
 
     rng = np.random.RandomState(7)
     d, hp, wp = 384, H // 16, W // 16
-    drift, nctr = [], []
+    drift, nctr, in_fg = [], [], []
     for trial in range(16):
         base = rng.randn(d).astype(np.float32)
         feat = np.tile(base[:, None, None], (1, hp, wp))
@@ -363,9 +363,22 @@ def synthetic_center_drift():
                 outs[4].centers.coords[gi], outs[4].centers.part_valid[gi],
                 outs[1].centers.coords[gi], outs[1].centers.part_valid[gi],
             )
+            # px drift overstates harm: centers supplement the mask
+            # head's positive supervision points, so what matters is
+            # whether a fast-path center still lands ON the instance. A
+            # tail "drift" here is the two equivalent lobes swapping
+            # rank, not a center leaving the object.
+            for c, v in zip(outs[4].centers.coords[gi],
+                            outs[4].centers.part_valid[gi]):
+                if v:
+                    xi = int(np.clip(round(c[0]), 0, W - 1))
+                    yi = int(np.clip(round(c[1]), 0, H - 1))
+                    in_fg.append(float(fg[gi, yi, xi] > 0.5))
     return dict(
         center_drift_px=pct(drift, (50, 90, 100)),
         exact_centers_per_instance=round(float(np.mean(nctr)), 3),
+        fast_center_in_fg_frac=(round(float(np.mean(in_fg)), 4)
+                                if in_fg else None),
         n_pairs=len(drift),
     )
 
@@ -422,7 +435,22 @@ def main():
         floor.add(re, re2, val)
         print(f"image {i}: e2e fast/exact/exact2 in {time.time()-t0:.1f}s", flush=True)
 
-    iso = isolated_stride(params, images)
+    iso, iso_acc = isolated_stride(params, images)
+
+    # Stable-subset view: the corpus's own exact-vs-exact noise floor has
+    # fat tails (sampling stochasticity flips tail instances regardless
+    # of stride), so the unconditional isolated-stride p10 conflates
+    # stride drift with corpus instability. Restrict the isolated-stride
+    # distribution to instances the noise floor itself calls stable
+    # (exact-vs-exact mask IoU >= 0.9): what remains is the drift the
+    # stride approximation causes on instances the pipeline can
+    # reproduce at all. Both accumulators iterate the identical
+    # (image, instance) sequence, so index-aligned filtering is exact.
+    if len(floor.miou) == len(iso_acc.miou):
+        stable = [i for i, v in enumerate(floor.miou) if v >= 0.9]
+        iso["pseudo_mask_iou_stable_subset"] = pct(
+            [iso_acc.miou[i] for i in stable], (10, 50, 90))
+        iso["stable_subset_n"] = len(stable)
 
     # RoIAlign sampling-ratio sensitivity on SMOOTH (ViT-like) features:
     # stride-16 feature maps are low-frequency relative to the sampling
@@ -499,12 +527,23 @@ def main():
         "reference's 0.85 fg-occupancy prototype filter rejects all; "
         "same behaviour as the reference on such features).",
         "",
+        "Isolated-stride mask IoU on the NOISE-FLOOR-STABLE subset "
+        "(instances whose exact-vs-exact IoU >= 0.9 — i.e. excluding "
+        "instances the pipeline's own sampling stochasticity flips): "
+        f"p10/p50/p90 = {iso.get('pseudo_mask_iou_stable_subset', {}).get('p10')} / "
+        f"{iso.get('pseudo_mask_iou_stable_subset', {}).get('p50')} / "
+        f"{iso.get('pseudo_mask_iou_stable_subset', {}).get('p90')} "
+        f"(n = {iso.get('stable_subset_n')}).",
+        "",
         "Semantic-center stride drift on CONSTRUCTED part-structured "
         "features (stride 4 vs 1, shared seeds): "
         f"p50/p90/p100 = {syn['center_drift_px']['p50']} / "
         f"{syn['center_drift_px']['p90']} / {syn['center_drift_px']['p100']} px, "
         f"{syn['exact_centers_per_instance']} centers/instance, "
-        f"n = {syn['n_pairs']}.",
+        f"n = {syn['n_pairs']}; fraction of fast-path centers inside the "
+        f"exact fg region = {syn['fast_center_in_fg_frac']} (a tail "
+        "drift is the two equivalent part lobes swapping rank, not a "
+        "supervision point leaving the object).",
         "",
         f"Stage-A candidate-box IoU across all layers (isolated, stride 8 vs 1): "
         f"p10/p50/p90 = {iso['stage_a_box_iou_all_layers']['p10']} / "
