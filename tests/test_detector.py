@@ -208,6 +208,40 @@ def test_keypoint_align_variant():
     assert gsum > 0
 
 
+def test_seed_pseudo_gt_batch_invariant(model_and_params):
+    """Batched seed generation reproduces the batch-1 result per image.
+
+    Gates throughput benching / training at batch > 1: element 0 of a
+    2-image batch must equal the solo run bit-for-bit (per-image work is
+    independent; the per-instance rng key split gives element 1 its own
+    stochastic draws, so only the solo-vs-slot-0 comparison is exact).
+    """
+    model, params = model_and_params
+    img, pts, lbls, val, wh = _inputs(4)
+
+    def seed(im, p, l, v, w):
+        return model.apply(
+            params, im, p, l, v, w,
+            method=AttnShiftDetector.seed_pseudo_gt,
+            rngs={"sampling": jax.random.PRNGKey(7)},
+        )
+
+    solo = seed(img, pts, lbls, val, wh)
+    img2 = jnp.asarray(np.random.RandomState(99).randn(B, H, W, 3), jnp.float32)
+    dup = seed(
+        jnp.concatenate([img, img2]), jnp.concatenate([pts, pts]),
+        jnp.concatenate([lbls, lbls]), jnp.concatenate([val, val]),
+        jnp.concatenate([wh, wh]),
+    )
+    for k in solo:
+        a, b = np.asarray(solo[k]), np.asarray(dup[k])
+        if a.ndim == 0:  # batch-summed scalars (loss_mil) can't be compared
+            assert np.isfinite(b), k
+            continue
+        assert b.shape[0] == 2, k
+        np.testing.assert_allclose(a[0], b[0], atol=1e-5, err_msg=k)
+
+
 def test_seed_debug_exposes_intermediates(model_and_params):
     """TwoStageDetectorPointSupVis analog: full intermediate dump."""
     model, params = model_and_params
