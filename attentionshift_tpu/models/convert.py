@@ -15,13 +15,64 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "mae_to_vit_params", "torchvision_resnet_params"]
+__all__ = [
+    "load_torch_state_dict",
+    "resolve_checkpoint_path",
+    "mae_to_vit_params",
+    "torchvision_resnet_params",
+]
+
+
+def resolve_checkpoint_path(path: str, cache_dir: str | None = None) -> str:
+    """Resolve a checkpoint spec to a local file path.
+
+    The reference's ``_load_checkpoint`` dispatches on URL scheme
+    (`mmcv_custom/checkpoint.py:286-358`): plain paths load directly,
+    ``http(s)://`` URLs download into a torch-hub-style cache keyed by
+    filename, and pavi/s3 go through proprietary clients. This mirrors
+    the url semantics: ``http(s)://`` and ``file://`` URLs are fetched
+    once into ``cache_dir`` (default ``~/.cache/attentionshift_tpu/
+    checkpoints``, override with $ATTNSHIFT_CKPT_CACHE) and reused on
+    later calls; everything else must be a local path. pavi:// and
+    s3:// raise with the reason (no proprietary clients here).
+    """
+    import urllib.parse
+    import urllib.request
+
+    scheme = urllib.parse.urlparse(path).scheme
+    if scheme in ("", None) or len(scheme) <= 1:  # plain / drive-letter path
+        return path
+    if scheme in ("pavi", "s3"):
+        raise NotImplementedError(
+            f"{scheme}:// checkpoint backends need proprietary clients "
+            "(reference: mmcv_custom/checkpoint.py:300-338); download the "
+            "file and pass a local or http(s):// path instead"
+        )
+    if scheme not in ("http", "https", "file"):
+        raise ValueError(f"unsupported checkpoint URL scheme: {path}")
+    import os
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("ATTNSHIFT_CKPT_CACHE")
+        or os.path.expanduser("~/.cache/attentionshift_tpu/checkpoints")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    fname = os.path.basename(urllib.parse.urlparse(path).path) or "checkpoint.pth"
+    dst = os.path.join(cache_dir, fname)
+    if not os.path.exists(dst):
+        tmp = dst + ".part"
+        urllib.request.urlretrieve(path, tmp)
+        os.replace(tmp, dst)
+    return dst
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch .pth checkpoint into {key: np.ndarray} on host."""
+    """Load a torch .pth checkpoint (local path or url) into
+    {key: np.ndarray} on host."""
     import torch
 
+    path = resolve_checkpoint_path(path)
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("state_dict", "model"):

@@ -223,3 +223,37 @@ def test_token_padding_is_equivalent():
     g1 = jax.grad(loss(m1))(params)
     for p0, p1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(p0, p1, rtol=1e-4, atol=1e-3)
+
+
+def test_checkpoint_url_loading(tmp_path):
+    """http(s)/file URL pretrains resolve through a download cache
+    (reference: mmcv_custom/checkpoint.py:286-358 url backend)."""
+    import torch
+
+    from attentionshift_tpu.models.convert import (
+        load_torch_state_dict, resolve_checkpoint_path)
+
+    sd = {"cls_token": torch.zeros(1, 1, 8)}
+    src = tmp_path / "weights.pth"
+    torch.save(sd, src)
+    cache = tmp_path / "cache"
+    url = f"file://{src}"
+
+    import os
+    os.environ["ATTNSHIFT_CKPT_CACHE"] = str(cache)
+    try:
+        local = resolve_checkpoint_path(url)
+        assert local.startswith(str(cache))
+        got = load_torch_state_dict(url)
+        assert got["cls_token"].shape == (1, 1, 8)
+        # second resolve reuses the cached file (no re-download): delete
+        # the source and resolve again
+        src.unlink()
+        assert resolve_checkpoint_path(url) == local
+        # plain local paths pass through untouched
+        assert resolve_checkpoint_path("/some/local/file.pth") == "/some/local/file.pth"
+        import pytest
+        with pytest.raises(NotImplementedError):
+            resolve_checkpoint_path("s3://bucket/weights.pth")
+    finally:
+        del os.environ["ATTNSHIFT_CKPT_CACHE"]
