@@ -39,7 +39,7 @@ def test_two_process_jax_distributed(tmp_path):
     outs = []
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -48,3 +48,28 @@ def test_two_process_jax_distributed(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
     assert "WORKER 0 OK" in outs[0]
     assert "WORKER 1 OK" in outs[1]
+
+    # VERDICT round-3 item 6: the distributed run took a REAL train step
+    # of the tiny flagship over the 2-process global mesh and published
+    # its metrics; recompute the identical step single-process on the
+    # same 4-device mesh shape and require agreement (all-reduce
+    # correctness of the actual model, the DDP analog of
+    # mmdet/apis/train.py:96-99).
+    import json
+
+    import numpy as np
+
+    with open(os.path.join(str(tmp_path), "dist_train_metrics.json")) as f:
+        dist_metrics = json.load(f)
+    from tests._dist_worker import tiny_train_step_metrics
+
+    import jax
+
+    ref_metrics = tiny_train_step_metrics(jax.devices("cpu")[:4])
+    assert set(dist_metrics) == set(ref_metrics)
+    for k, want in ref_metrics.items():
+        got = dist_metrics[k]
+        assert np.isfinite(got) and np.isfinite(want), (k, got, want)
+        np.testing.assert_allclose(
+            got, want, rtol=2e-3, atol=2e-3,
+            err_msg=f"{k}: distributed {got} vs single-process {want}")
