@@ -60,16 +60,35 @@ def time_fn(fn, args, iters=20, inner=10):
 
 
 def chain(single, inner):
-    """Chain `inner` dependent calls of single(q,k,v)->out (B,H,T,d)."""
+    """Chain `inner` dependent calls of single(q,k,v)->out (B,H,T,d).
+
+    ``lax.scan`` keeps the compile cost at ONE body regardless of depth
+    and the carry dependency defeats CSE (pallas_call is pure, so an
+    unrolled ``[f(x) for _ in range(n)]`` collapses to one call —
+    round-2 measurement hazard, NOTES_ROUND2.md).
+    """
 
     def fn(q, k, v):
-        o = single(q, k, v)
-        for _ in range(inner - 1):
-            # derive next q from out so the calls are data-dependent
-            o = single(o.astype(q.dtype), k, v)
+        def body(o, _):
+            return single(o.astype(q.dtype), k, v), ()
+
+        o, _ = jax.lax.scan(body, q, None, length=inner)
         return o
 
     return fn
+
+
+def time_slope(single, args, inner=32, iters=12):
+    """ms per call from the SLOPE between a 2*inner and an inner chain.
+
+    Each host sync through the tunneled backend costs tens of ms of RTT
+    (round-4 measurement: ~24 ms); dividing one chain's wall time by its
+    depth still leaves RTT/inner in the answer. The difference of two
+    chain depths cancels every per-dispatch constant exactly.
+    """
+    t1 = time_fn(chain(single, inner), args, iters=iters, inner=1)
+    t2 = time_fn(chain(single, 2 * inner), args, iters=iters, inner=1)
+    return (t2 - t1) / inner
 
 
 def main():
@@ -92,7 +111,7 @@ def main():
     results = {}
 
     def run(name, single):
-        ms = time_fn(chain(single, args.inner), (q, k, v), inner=args.inner)
+        ms = time_slope(single, (q, k, v), inner=args.inner)
         results[name] = ms
         print(f"{name:20s} {ms:8.3f} ms/layer", flush=True)
 
@@ -108,14 +127,17 @@ def main():
     if sel("stock-flash"):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        def stock(q, k, v):
-            return fa.flash_attention(
-                q.astype(jnp.float32).astype(jnp.bfloat16), k, v, causal=False,
-                sm_scale=d ** -0.5,
-            )
+        tp128 = ((t + 127) // 128) * 128
 
-        run("stock-flash", lambda q, k, v: fa.flash_attention(
-            q, k, v, causal=False, sm_scale=d ** -0.5))
+        def stock(q, k, v):
+            # stock kernel requires 128-divisible seq len; pad like ours
+            if t != tp128:
+                padw = ((0, 0), (0, 0), (0, tp128 - t), (0, 0))
+                q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
+            o = fa.flash_attention(q, k, v, causal=False, sm_scale=d ** -0.5)
+            return o[:, :, :t]
+
+        run("stock-flash", stock)
     if sel("v2-bf16e"):
         # experimental: q pre-scaled per head tile, e stored bf16 (halves
         # every later wide read), fold_div PV, contrib from bf16 e
