@@ -82,6 +82,9 @@ def _emit(error: str | None = None) -> None:
             rec["mfu"] = round(
                 _STATE["flops_per_img"] * _STATE["value"] / 197e12, 4
             )
+        for key in ("config", "strides", "variants"):
+            if _STATE.get(key) is not None:
+                rec[key] = _STATE[key]
         if _STATE["partial"]:
             rec["partial"] = True
             rec["phase"] = _STATE["phase"]
@@ -103,17 +106,46 @@ def _install_guards(budget_s: float) -> None:
     t.start()
 
 
+def _build_model(config_path: str, args, on_tpu: bool, **overrides):
+    """Model from the SHIPPED config file (VERDICT round-3 item 2: the
+    headline bench measures the flagship config, one source of truth),
+    plus runtime knobs (dtype/pallas/padding) and explicit overrides."""
+    from attentionshift_tpu.config import Config
+    from attentionshift_tpu.models.detector import AttnShiftDetector
+
+    cfg = Config.fromfile(config_path)
+    kw = cfg.model.to_dict()
+    kw.update(
+        max_gt=args.max_gt,
+        use_remat=bool(args.remat) or kw.get("use_remat", False),
+        use_pallas_attention=on_tpu, use_pallas_ccl=on_tpu,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        pad_tokens_to=128,
+    )
+    # bench-time remat default: the seed path is inference-only and fits
+    # without it; the config's train-time True would only slow the bench
+    if not args.remat:
+        kw["use_remat"] = False
+    kw.update({k: v for k, v in overrides.items() if v is not None})
+    return AttnShiftDetector(**kw), kw
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--max-gt", type=int, default=20)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--budget-s", type=float, default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
                     help="wall-clock watchdog: emit best-so-far JSON and exit at this age")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--config", default=None, metavar="PY",
+                    help="config file whose `model` block to bench "
+                         "(default: the flagship configs/attnshift_voc12aug"
+                         ".py, or the AttnShift-B COCO config with --model "
+                         "vitb)")
     ap.add_argument("--ckpt", default=None, metavar="DIR",
                     help="params-only orbax checkpoint to bench instead of "
                          "random init (produce one with tools/analysis/"
@@ -132,6 +164,13 @@ def main():
                          " 6 heads); vitb = the paper's AttnShift-B COCO row"
                          " (embed 768, 12 heads, configs/attnshift_coco_vitb"
                          ".py) — VERDICT round-2 item 5")
+    ap.add_argument("--variants", default="vitb",
+                    help="comma list of secondary measurements recorded in "
+                         "the JSON `variants` field after the headline: "
+                         "`vitb` (AttnShift-B config) and/or `exact` "
+                         "(cam/map stride 1 = exact reference semantics); "
+                         "empty string disables. Each runs only if enough "
+                         "of --budget-s remains.")
     ap.add_argument("--remat", action="store_true",
                     help="activation checkpointing on the ViT blocks "
                          "(inference seed path rarely needs it; knob for "
@@ -152,28 +191,28 @@ def main():
     s = float(jnp.sum(x @ x))
     if not np.isfinite(s):
         _die("backend smoke matmul returned non-finite")
-
-    from attentionshift_tpu.models.detector import AttnShiftDetector
+    # host<->device sync cost (tunneled backends: tens of ms of RTT) —
+    # measured so the timed loop can subtract its per-chunk syncs instead
+    # of folding launch overhead into the device rate
+    y = jnp.zeros((8,), jnp.float32)
+    float(jnp.sum(y))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(y))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
 
     _STATE["phase"] = "init"
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     on_tpu = dev.platform != "cpu"
-    overrides = {}
-    if args.cam_stride is not None:
-        overrides["cam_stride"] = args.cam_stride
-    if args.map_stride is not None:
-        overrides["seed_map_stride"] = args.map_stride
-    if args.model == "vitb":
-        # AttnShift-B (configs/attnshift_coco_vitb.py): COCO classes
-        overrides.update(embed_dim=768, num_heads=12, num_classes=80)
-    model = AttnShiftDetector(
-        num_classes=overrides.pop("num_classes", 20),
-        embed_dim=overrides.pop("embed_dim", 384), depth=12,
-        num_heads=overrides.pop("num_heads", 6), img_size=224,
-        point_tokens=100, cam_layer=7, max_gt=args.max_gt,
-        use_remat=args.remat,
-        use_pallas_attention=on_tpu, use_pallas_ccl=on_tpu, dtype=dtype,
-        pad_tokens_to=128, **overrides,
+    here = os.path.dirname(os.path.abspath(__file__))
+    config_path = args.config or os.path.join(
+        here, "configs",
+        "attnshift_coco_vitb.py" if args.model == "vitb" else "attnshift_voc12aug.py",
+    )
+    model, model_kw = _build_model(
+        config_path, args, on_tpu,
+        cam_stride=args.cam_stride, seed_map_stride=args.map_stride,
     )
     b, h, w, g = args.batch, args.height, args.width, args.max_gt
     rng = jax.random.PRNGKey(0)
@@ -272,31 +311,96 @@ def main():
 
     # ---- phase: timing ----
     # Steps are enqueued in chunks with one sync per chunk: a per-step
-    # host sync through the tunneled backend costs ~0.4s of RTT (vs a
-    # ~30ms device step) and would dominate the measurement, while one
+    # host sync through the tunneled backend costs tens of ms of RTT (vs
+    # a ~15-20ms device step) and would dominate the measurement; one
     # sync per chunk amortises it AND leaves the watchdog a true
-    # best-so-far rate if it fires between chunks.
+    # best-so-far rate if it fires between chunks. The measured RTT of
+    # each chunk sync is subtracted so the reported rate is DEVICE time,
+    # not launch overhead (round-4 finding: at chunk=10 the old loop
+    # under-reported throughput by ~10%).
     _STATE["phase"] = "timing"
     import contextlib
 
     trace_ctx = (
         jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
     )
-    chunk = 10
+    chunk = 25
     with trace_ctx:
         t0 = time.perf_counter()
         done_steps = 0
+        nsync = 0
         while done_steps < steps:
             n = min(chunk, steps - done_steps)
             for i in range(n):
                 out = seed(params, img, pts, lbls, valid, img_wh,
                            jax.random.PRNGKey(100 + done_steps + i))
             sync(out)
+            nsync += 1
             done_steps += n
-            _STATE["value"] = done_steps * b / (time.perf_counter() - t0)
-        dt = time.perf_counter() - t0
+            _STATE["value"] = done_steps * b / max(
+                time.perf_counter() - t0 - nsync * rtt, 1e-6)
+        dt = max(time.perf_counter() - t0 - nsync * rtt, 1e-6)
 
     _STATE["value"] = steps * b / dt
+    _STATE["config"] = os.path.relpath(config_path, here)
+    _STATE["strides"] = [model_kw.get("cam_stride"), model_kw.get("seed_map_stride")]
+
+    # ---- phase: variants — secondary recorded measurements ----
+    # `exact`: cam/map stride 1 (bit-exact reference semantics); `vitb`:
+    # the AttnShift-B config at the same frame size. Each runs only when
+    # enough budget remains; failures are recorded, never fatal.
+    want = [v for v in args.variants.split(",") if v] if args.variants else []
+    if args.model == "vitb" and "vitb" in want:
+        want.remove("vitb")  # headline IS vitb
+    variants = {}
+    for name in want:
+        remaining = args.budget_s - (time.perf_counter() - t_start)
+        if remaining < 420:  # compile alone can eat minutes
+            variants[name] = "skipped:budget"
+            continue
+        _STATE["phase"] = f"variant:{name}"
+        try:
+            if name == "exact":
+                vmodel, _ = _build_model(config_path, args, on_tpu,
+                                         cam_stride=1, seed_map_stride=1)
+                vsteps = 6
+            elif name == "vitb":
+                vmodel, _ = _build_model(
+                    os.path.join(here, "configs", "attnshift_coco_vitb.py"),
+                    args, on_tpu,
+                    cam_stride=args.cam_stride, seed_map_stride=args.map_stride)
+                vsteps = 12
+            else:
+                variants[name] = "skipped:unknown"
+                continue
+            vparams = jax.jit(
+                lambda r: vmodel.init(
+                    {"params": r, "sampling": r}, img, pts, lbls, valid, img_wh,
+                    method=type(vmodel).seed_pseudo_gt,
+                )
+            )(rng)
+            jax.block_until_ready(vparams)
+
+            @jax.jit
+            def vseed(p, im, pt, lb, va, wh, key, _m=vmodel):
+                return _m.apply(p, im, pt, lb, va, wh,
+                                method=type(_m).seed_pseudo_gt,
+                                rngs={"sampling": key})
+
+            sync(vseed(vparams, img, pts, lbls, valid, img_wh,
+                       jax.random.PRNGKey(0)))
+            t0 = time.perf_counter()
+            for i in range(vsteps):
+                vout = vseed(vparams, img, pts, lbls, valid, img_wh,
+                             jax.random.PRNGKey(200 + i))
+            sync(vout)
+            vdt = max(time.perf_counter() - t0 - rtt, 1e-6)
+            variants[name] = round(vsteps * b / vdt, 3)
+        except Exception as e:  # record, don't kill the headline
+            variants[name] = f"error:{type(e).__name__}"
+    if variants:
+        _STATE["variants"] = variants
+
     _STATE["partial"] = False
     _STATE["phase"] = "done"
     _emit()

@@ -75,8 +75,18 @@ def _host_ccl(x: "torch.Tensor") -> "torch.Tensor":
 
     Label values differ from the CUDA kernel's, but component membership
     and the 0=background convention — all the caller consumes — match.
+    scipy's C labeler when available (needed at the realistic 800x1344
+    scale); the pure-python flood fill otherwise. Both number components
+    in raster first-encounter order.
     """
     a = x.cpu().numpy().astype(bool)
+    try:
+        from scipy import ndimage
+
+        labels, _ = ndimage.label(a, structure=np.ones((3, 3), bool))
+        return torch.from_numpy(labels.astype(np.int64))
+    except ImportError:
+        pass
     h, w = a.shape
     labels = np.zeros((h, w), np.int64)
     cur = 0
@@ -789,3 +799,187 @@ def test_update_fg_map_cascade_parity(ref):
         np.asarray(masks, np.float32) - ref_masks.astype(np.float32)
     ).mean()
     assert mask_diff < 1e-3, mask_diff
+
+@pytest.mark.slow
+def test_composed_seed_parity_realistic_scale(ref):
+    """The composed Stage A->B->C chain at the REAL bench geometry:
+    50x84 patch grid / 800x1344 frame, padded ``max_gt`` slots, 8
+    independent fixtures (VERDICT round-3 item 4).
+
+    The 12x12 / 10x17 composed test above catches semantic bugs; this
+    one targets what only shows up at scale — padding interactions
+    (invalid instance slots ride through the winner-take-all and CCL
+    exactly as the detector feeds them), stride plumbing on non-tiny
+    extents, and the full-resolution CCL fixpoint (scipy host labeler as
+    the cc_torch stand-in vs our XLA while_loop at 800x1344). Rollout is
+    excluded (its parity is pinned by test_rollout_point_rows_parity and
+    the composed 10x17 fixture; a (T,T)@(T,T) torch rollout at T=4211
+    costs minutes per fixture on this 1-core host): both sides consume
+    the same row-normalised rollout-like point-token rows.
+
+    Done-criteria from the VERDICT: per-fixture pseudo-box IoU ~ 1.0 and
+    map_fg correlation > 0.99. Reference chain composed per
+    `stdroi:2209-2415`.
+    """
+    r, _ = ref
+    from attentionshift_tpu.ops.image import resize
+    from attentionshift_tpu.pseudo.engine import candidate_boxes, masks_and_centers
+
+    L, P, D = 3, 10, 16
+    Hp, Wp = 50, 84
+    H, W = Hp * 16, Wp * 16
+    N = Hp * Wp
+    T = 1 + N + P
+    G_PAD = 8
+
+    jit_cand = jax.jit(
+        lambda rows, tok, pts, val: candidate_boxes(
+            rows, tok, pts, (Hp, Wp), (H, W), seed_thr=0.2, seed_multiple=0.5,
+            cam_stride=1, ccl_iters=256, valid=val,
+        )
+    )
+    jit_engine = jax.jit(
+        lambda key, cams, feats, boxes, pts, lbls, val, ov: masks_and_centers(
+            key, cams, feats, boxes, pts, lbls, val,
+            pos_mask_thr=0.35, refine_times=2, obj_tau=0.9,
+            mean_shift_times=10, num_semantic_points=5, map_stride=1,
+            img_hw=(H, W), points_override=ov,
+        )
+    )
+
+    def iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / max(ua, 1e-9)
+
+    yy, xx = np.mgrid[0:Hp, 0:Wp]
+    for fix in range(8):
+        rng = np.random.RandomState(100 + fix)
+        gv = int(rng.randint(3, 7))  # valid instances in 8 slots
+        blob_rc = [
+            (int(rng.randint(6, Hp - 6)), int(rng.randint(6, Wp - 6)))
+            for _ in range(gv)
+        ]
+        sig = rng.uniform(2.0, 4.0, gv)
+
+        # rollout-like rows: row-normalised, gaussian bump per assigned
+        # token over the patch block
+        assigned = rng.choice(P, gv, replace=False).astype(np.int64)
+        rows = np.abs(rng.randn(L, P, T).astype(np.float32)) * 0.05
+        for g, (br, bc) in enumerate(blob_rc):
+            bump = 6.0 * np.exp(
+                -((yy - br) ** 2 + (xx - bc) ** 2) / (2 * sig[g] ** 2)
+            )
+            rows[:, assigned[g], 1 : 1 + N] += bump.reshape(-1).astype(np.float32)
+        rows = rows / rows.sum(-1, keepdims=True)
+
+        gt_points_v = np.asarray(
+            [[bc * 16 + 8.0, br * 16 + 8.0] for br, bc in blob_rc], np.float32)
+        gt_labels_v = rng.randint(0, 20, gv).astype(np.int64)
+
+        base = rng.randn(D, 1, 1).astype(np.float32)
+        feats = (base + 0.3 * rng.randn(D, Hp, Wp)).astype(np.float32)
+        for br, bc in blob_rc:
+            feats[:, max(br - 3, 0) : br + 1, max(bc - 3, 0) : bc + 1] += (
+                0.5 * rng.randn(D, 1, 1).astype(np.float32))
+            feats[:, br : br + 4, bc : bc + 4] += (
+                0.5 * rng.randn(D, 1, 1).astype(np.float32))
+
+        # -------- reference chain (valid instances only, torch)
+        rows_t = _t(rows)
+        cams_ref = rows_t[:, torch.from_numpy(assigned), 1 : 1 + N].reshape(
+            L * gv, 1, Hp, Wp)
+        cams_up_ref = F.interpolate(
+            cams_ref, (H, W), mode="bilinear").reshape(L, gv, H, W)
+        boxes_ref = np.zeros((gv, L, 4), np.float32)
+        for l in range(L):
+            for g in range(gv):
+                bb, _ = r.get_bbox_from_cam_fast(
+                    cams_up_ref[l, g].clone(), _t(gt_points_v[g]), cam_thr=0.2,
+                    area_ratio=0.5, img_size=(H, W), box_method="expand")
+                boxes_ref[g, l] = bb[0].numpy()
+        best_idx = rng.randint(0, L, gv)  # stand-in for the learned MIL pick
+        best_boxes_ref = boxes_ref[np.arange(gv), best_idx]
+        best_cams_ref = torch.stack(
+            [cams_up_ref[best_idx[g], g] for g in range(gv)])
+
+        torch.manual_seed(fix)
+        ref_fg, ref_bg, pts_fg, pts_bg, *_ = r.get_cosine_similarity_refined_map(
+            best_cams_ref.clone(), _t(feats), _t(best_boxes_ref),
+            thr_pos=0.2, thr_neg=0.1, num_points=20, refine_times=2,
+            obj_tau=0.9, gt_points=_t(gt_points_v[:, ::-1].copy()))
+        ref_masks = (ref_fg[-1] > 0.35).numpy().astype(np.uint8)
+
+        shim = types.SimpleNamespace()
+        shim.mean_shift_grid_prototype = types.MethodType(
+            r.mean_shift_grid_prototype, shim)
+        outs = r.get_semantic_centers(
+            shim, ref_fg[-1].clone(), ref_bg[-1].clone(), _t(best_boxes_ref),
+            _t(feats), pos_thr=0.35, refine_times=10,
+            gt_labels=torch.from_numpy(gt_labels_v),
+            merge_thr=0.85, num_semantic_points=5)
+        coords_org, corres_gt = outs[6], outs[8]
+
+        # -------- our chain (padded to G_PAD slots, like the detector)
+        pad = G_PAD - gv
+        valid = np.asarray([True] * gv + [False] * pad)
+        assigned_p = np.concatenate([assigned, np.zeros(pad, np.int64)])
+        gt_points_p = np.concatenate(
+            [gt_points_v, np.zeros((pad, 2), np.float32)])
+        gt_labels_p = np.concatenate([gt_labels_v, np.zeros(pad, np.int64)])
+
+        cand, cams_patch = jit_cand(
+            _j(rows), jnp.asarray(assigned_p), _j(gt_points_p),
+            jnp.asarray(valid))
+        cand = np.asarray(cand)
+        for g in range(gv):
+            for l in range(L):
+                assert iou(cand[g, l], boxes_ref[g, l]) > 0.995, (
+                    fix, g, l, cand[g, l], boxes_ref[g, l])
+
+        best_cams_patch = jnp.concatenate([
+            jnp.stack([cams_patch[best_idx[g], g] for g in range(gv)]),
+            cams_patch[0, gv:],
+        ])
+        best_cams = resize(best_cams_patch, (H, W))
+        boxes_p = np.concatenate(
+            [best_boxes_ref, np.tile([[0, 0, 1, 1]], (pad, 1))]
+        ).astype(np.float32)
+        # pad the shared seed-point draw: valid rows, zero rows for the
+        # padding slots, then the reference's final mean-map support row
+        fg_np, bg_np = pts_fg.numpy(), pts_bg.numpy()
+        ov = (
+            _j(np.concatenate(
+                [fg_np[:gv], np.zeros((pad,) + fg_np.shape[1:], np.float32),
+                 fg_np[gv:]])),
+            _j(np.concatenate(
+                [bg_np, np.zeros((pad,) + bg_np.shape[1:], np.float32)])),
+        )
+        pl = jit_engine(
+            jax.random.PRNGKey(fix), best_cams, _j(feats), _j(boxes_p),
+            _j(gt_points_p), jnp.asarray(gt_labels_p), jnp.asarray(valid), ov)
+
+        got_fg = np.asarray(pl.map_fg[:gv])
+        want_fg = ref_fg[-1].numpy()
+        for g in range(gv):
+            a, b = got_fg[g].ravel(), want_fg[g].ravel()
+            corr = float(np.corrcoef(a, b)[0, 1]) if a.std() > 0 else 1.0
+            assert corr > 0.99, (fix, g, corr)
+        np.testing.assert_allclose(got_fg, want_fg, rtol=1e-3, atol=1e-4,
+                                   err_msg=f"fixture {fix} map_fg")
+        mask_diff = np.abs(
+            np.asarray(pl.pseudo_masks[:gv], np.float32)
+            - ref_masks.astype(np.float32)).mean()
+        assert mask_diff < 1e-3, (fix, mask_diff)
+        # padded slots must come out empty
+        assert np.asarray(pl.pseudo_masks[gv:]).sum() == 0
+
+        for g in range(gv):
+            want = coords_org.numpy()[corres_gt.numpy() == g]
+            got = np.asarray(pl.centers.coords[g])[
+                np.asarray(pl.centers.part_valid[g])]
+            assert got.shape == want.shape, (fix, g, got.shape, want.shape)
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3,
+                                       err_msg=f"fixture {fix} inst {g}")

@@ -86,6 +86,12 @@ def main():
                     help="save the trained params (orbax, params-only) — "
                          "the fixture for `bench.py --ckpt` (throughput on "
                          "realistic attention instead of random init)")
+    ap.add_argument("--save-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="parameter dtype for --save-ckpt; bfloat16 halves "
+                         "the committed-fixture size (the fidelity study "
+                         "feeds BOTH stride paths the same weights, so "
+                         "fixture precision cancels out of the drift)")
     ap.add_argument("--dagger", type=int, default=0, metavar="N",
                     help="after flagship training, dump pseudo labels and "
                          "retrain a standard Mask R-CNN on them for N steps "
@@ -181,7 +187,14 @@ def main():
     if args.save_ckpt:
         from attentionshift_tpu.train.checkpoint import save_params
 
-        path = save_params(os.path.abspath(args.save_ckpt), state.params)
+        to_save = state.params
+        if args.save_dtype == "bfloat16":
+            to_save = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                to_save,
+            )
+        path = save_params(os.path.abspath(args.save_ckpt), to_save)
         summary["ckpt"] = path
         print(f"saved trained params to {path}", flush=True)
 
