@@ -343,7 +343,7 @@ def main():
 
     _STATE["value"] = steps * b / dt
     _STATE["config"] = os.path.relpath(config_path, here)
-    _STATE["strides"] = [model_kw.get("cam_stride"), model_kw.get("seed_map_stride")]
+    _STATE["strides"] = [int(model.cam_stride), int(model.seed_map_stride)]
 
     # ---- phase: variants — secondary recorded measurements ----
     # `exact`: cam/map stride 1 (bit-exact reference semantics); `vitb`:
