@@ -445,6 +445,11 @@ class AttnShiftDetector(nn.Module):
                 mean_shift_times=self.mean_shift_times,
                 num_semantic_points=self.num_semantic_points,
                 map_stride=ms, img_hw=(h, w),
+                # Stage-C mean-shift dots in the storage dtype (bf16
+                # models): the apex-O1 precision the reference ran these
+                # matmuls at; f32 models keep the exact parity chain
+                matmul_dtype=(jnp.bfloat16 if self.dtype == jnp.bfloat16
+                              else None),
             )
 
         pl = jax.vmap(engine_one)(

@@ -126,6 +126,7 @@ def masks_and_centers(
     map_stride: int = 1,
     img_hw: tuple[int, int] | None = None,
     points_override: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    matmul_dtype=None,
 ) -> PseudoLabels:
     """Stages B+C for one image.
 
@@ -186,6 +187,7 @@ def masks_and_centers(
         maps.map_fg, maps.map_bg, boxes, vit_feat, gt_labels, valid,
         pos_thr=pos_mask_thr, n_shift=mean_shift_times,
         num_semantic_points=num_semantic_points, stride=map_stride,
+        matmul_dtype=matmul_dtype,
     )
 
     # reference semantics (`update_coords_with_semantic_centers`): keep

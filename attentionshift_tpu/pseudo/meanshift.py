@@ -53,6 +53,7 @@ def cosine_shift_batch(
     tau: float = 0.1,
     temp: float = 0.1,
     n_shift: int = 10,
+    matmul_dtype=None,
 ):
     """Batched cosine mean-shift (`cosine_shift_batch:830-854`).
 
@@ -60,30 +61,56 @@ def cosine_shift_batch(
         prototypes: (G, K, D) initial part prototypes.
         feats: (G, N, D) box-masked per-instance features.
         feats_org: (N, D) unmasked features for the final similarity.
+        matmul_dtype: operand dtype for the three per-iteration dots (the
+            loop's dominant cost; bench profile round 4). Norms, the
+            softmax chain, and accumulation stay f32, so bf16 here only
+            rounds the dot OPERANDS — the same precision the reference's
+            apex-O1 fp16 matmuls ran at. None = operand dtype (the exact
+            f32 chain the parity tests pin).
 
     Returns:
         prototypes (G, K, D), sim (G, K, N) final cosine maps.
     """
     g, k, d = prototypes.shape
+    mm = matmul_dtype or jnp.float32
+    # feats is loop-constant: its norm (the cosine denominator's nb) is
+    # hoisted out of the fixed point — the reference recomputes it every
+    # F.cosine_similarity call, but it is bit-identical hoisted because
+    # the division structure num / (na * nb) is preserved below.
+    nb = jnp.maximum(
+        jnp.linalg.norm(feats.astype(jnp.float32), axis=-1), 1e-8
+    )  # (G, N)
+    fm = feats.astype(mm)
+
+    def cos_feats(prot):
+        num = jnp.einsum(
+            "gkd,gnd->gkn", prot.astype(mm), fm,
+            preferred_element_type=jnp.float32,
+        )
+        na = jnp.maximum(jnp.linalg.norm(prot, axis=-1), 1e-8)  # (G, K)
+        return num / (na[..., None] * nb[:, None, :])
 
     def step(carry, _):
         prot, tau_arr = carry
-        sim = _cos(prot[:, :, None, :], feats[:, None, :, :])  # (G, K, N)
+        sim = cos_feats(prot)  # (G, K, N)
         scaled = sim / (temp * tau_arr)
-        weight = jax.nn.softmax(scaled, axis=-1)
         # hard assignment in LOG space: the reference argmaxes the softmax
         # weights directly, which survives in torch because far features
         # land on f32 subnormals — XLA flushes those to zero and the
         # argmax would degrade to index 0. log w = scaled - logsumexp is
-        # the same ordering computed exactly.
+        # the same ordering computed exactly; the softmax weights reuse
+        # the same logsumexp (exp(logw) == softmax) instead of a second
+        # max/exp/sum chain over the (G, K, N) block.
         logw = scaled - jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+        weight = jnp.exp(logw)
         feat_idx = jnp.argmax(logw, axis=1, keepdims=True)  # (G, 1, N)
-        mask_w = (jnp.arange(k)[None, :, None] == feat_idx).astype(sim.dtype)
+        mask_w = (jnp.arange(k)[None, :, None] == feat_idx).astype(jnp.float32)
         prot = jnp.einsum(
-            "gkn,gnd->gkd", weight * mask_w, feats, preferred_element_type=jnp.float32
+            "gkn,gnd->gkd", (weight * mask_w).astype(mm), fm,
+            preferred_element_type=jnp.float32,
         )
         # update_density_batch: 1 - mean assigned similarity
-        sim2 = _cos(prot[:, :, None, :], feats[:, None, :, :])
+        sim2 = cos_feats(prot)
         cnt = mask_w.sum(-1)
         dens = (sim2 * mask_w).sum(-1)
         dens = 1.0 - jnp.where(cnt >= 1, dens / jnp.maximum(cnt, 1.0), 0.0)
@@ -105,6 +132,7 @@ def mean_shift_grid_prototype(
     tau: float = 0.1,
     temp: float = 0.1,
     n_points: int = 20,
+    matmul_dtype=None,
 ):
     """Seed + run the mean shift (`mean_shift_grid_prototype:1778-1840`).
 
@@ -134,7 +162,8 @@ def mean_shift_grid_prototype(
     box_mask = box2mask(jnp.floor(rois / 16.0), (hp, wp), default_val=0.0)  # (G,Hp,Wp)
     f = vit_feat.reshape(d, -1).T  # (N, D)
     feats = f[None, :, :] * box_mask.reshape(g, -1, 1)
-    prot, sim = cosine_shift_batch(prototypes, feats, f, tau=tau, temp=temp, n_shift=n_shift)
+    prot, sim = cosine_shift_batch(prototypes, feats, f, tau=tau, temp=temp,
+                                   n_shift=n_shift, matmul_dtype=matmul_dtype)
     return prot, jnp.maximum(sim.reshape(g, n_points, hp, wp), 0.0)
 
 
@@ -272,6 +301,7 @@ def semantic_centers(
     num_semantic_points: int = 3,
     num_prototypes: int = 20,
     stride: int = 1,
+    matmul_dtype=None,
 ) -> SemanticCenters:
     """Stage C driver (`get_semantic_centers:1995-2031`).
 
@@ -292,7 +322,7 @@ def semantic_centers(
 
     prot, sim = mean_shift_grid_prototype(
         map_fg_patch, vit_feat, rois, thr=pos_thr, n_shift=n_shift,
-        n_points=num_prototypes,
+        n_points=num_prototypes, matmul_dtype=matmul_dtype,
     )
     keep = filter_maps(sim, fg_inter)  # (G, K)
     keep = keep & valid[:, None]
@@ -302,7 +332,11 @@ def semantic_centers(
     f = vit_feat.reshape(d, -1)
     fn = f / jnp.maximum(jnp.linalg.norm(f, axis=0, keepdims=True), 1e-8)
     mn = merged / jnp.maximum(jnp.linalg.norm(merged, axis=-1, keepdims=True), 1e-8)
-    sim_merged = jnp.einsum("gkd,dn->gkn", mn, fn).reshape(g, -1, hp, wp)
+    mm = matmul_dtype or jnp.float32
+    sim_merged = jnp.einsum(
+        "gkd,dn->gkn", mn.astype(mm), fn.astype(mm),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, -1, hp, wp)
 
     coords, part_valid, feats = get_center_coords(
         sim_merged, merged_valid, rois, gt_labels, vit_feat,

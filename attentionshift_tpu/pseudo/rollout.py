@@ -82,14 +82,20 @@ def attention_rollout_point_rows(
             "bpt,btu->bpu", rw.astype(a.dtype), a,
             preferred_element_type=jnp.float32,
         )
-        r_new = prod + rw
-        return r_new, r_new
+        return prod + rw
 
-    # multiply by aug[-2], aug[-3], ..., aug[0]. scan(reverse=True)
-    # iterates attns[:-1] back-to-front WITHOUT materialising a reversed
-    # copy (a (L-1, B, T, T) reverse was 0.7 ms/img of pure HBM traffic
-    # at the bench shape); its ys land at their xs' indices, i.e. in
-    # depth order, so one small (L-1, B, P, T) flip restores the
-    # reference's reverse_joint output order.
-    _, rs = jax.lax.scan(step, r0, attns[:-1], reverse=True)
-    return jnp.concatenate([r0[None], rs[::-1]], axis=0)
+    # multiply by aug[-2], aug[-3], ..., aug[0]. The chain is UNROLLED
+    # (L <= 12 always): the round-3 scan(reverse=True) avoided reversing
+    # the (L-1, B, T, T) stack, but the trace showed its while-loop
+    # bookkeeping + per-iteration dynamic-update-slice of the (L-1, B, P,
+    # T) ys cost ~0.8 ms/img on top of the ~0.34 ms of actual matmuls
+    # (round-4 profile, trace_ops.py). Static per-layer slices read the
+    # stack in place (no reversed copy either) and the outputs stack once.
+    # out[0] = last layer alone, out[j] = product down to layer l-1-j —
+    # the reference's reverse_joint order as documented above.
+    out = [r0]
+    r = r0
+    for i in range(l - 2, -1, -1):
+        r = step(r, attns[i])
+        out.append(r)
+    return jnp.stack(out, axis=0)
