@@ -106,6 +106,12 @@ def linear_sum_assignment(
                 row_valid[i], lambda: inner_solve(i, state), lambda: state
             )
 
+    # NOTE (round 4): a Jonker-Volgenant dual init (v = col minima,
+    # u = row minima of reduced costs) was tried to cut Dijkstra
+    # iterations and produced WRONG assignments — this e-maxx SAP
+    # formulation's delta updates assume zero potentials for unmatched
+    # rows. Keep the zero init; the loops cost ~0.8 ms/step of
+    # serialized micro-op latency at the 20x100 bench shape.
     u0 = jnp.zeros((n,))
     v0 = jnp.zeros((m,))
     p0 = jnp.full((m,), -1, dtype=jnp.int32)

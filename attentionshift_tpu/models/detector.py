@@ -450,6 +450,9 @@ class AttnShiftDetector(nn.Module):
                 # matmuls at; f32 models keep the exact parity chain
                 matmul_dtype=(jnp.bfloat16 if self.dtype == jnp.bfloat16
                               else None),
+                # same switch as the CCL batch kernel: pallas engine
+                # kernels on TPU, jnp elsewhere
+                use_pallas_meanshift=self.use_pallas_ccl,
             )
 
         pl = jax.vmap(engine_one)(

@@ -127,6 +127,7 @@ def masks_and_centers(
     img_hw: tuple[int, int] | None = None,
     points_override: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     matmul_dtype=None,
+    use_pallas_meanshift: bool = False,
 ) -> PseudoLabels:
     """Stages B+C for one image.
 
@@ -187,7 +188,7 @@ def masks_and_centers(
         maps.map_fg, maps.map_bg, boxes, vit_feat, gt_labels, valid,
         pos_thr=pos_mask_thr, n_shift=mean_shift_times,
         num_semantic_points=num_semantic_points, stride=map_stride,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, use_pallas=use_pallas_meanshift,
     )
 
     # reference semantics (`update_coords_with_semantic_centers`): keep

@@ -133,6 +133,7 @@ def mean_shift_grid_prototype(
     temp: float = 0.1,
     n_points: int = 20,
     matmul_dtype=None,
+    use_pallas: bool = False,
 ):
     """Seed + run the mean shift (`mean_shift_grid_prototype:1778-1840`).
 
@@ -161,9 +162,19 @@ def mean_shift_grid_prototype(
 
     box_mask = box2mask(jnp.floor(rois / 16.0), (hp, wp), default_val=0.0)  # (G,Hp,Wp)
     f = vit_feat.reshape(d, -1).T  # (N, D)
-    feats = f[None, :, :] * box_mask.reshape(g, -1, 1)
-    prot, sim = cosine_shift_batch(prototypes, feats, f, tau=tau, temp=temp,
-                                   n_shift=n_shift, matmul_dtype=matmul_dtype)
+    if use_pallas:
+        # one VMEM-resident kernel for the whole fixpoint (the (G, K, N)
+        # intermediates never touch HBM) — ops/meanshift_kernel.py
+        from ..ops.meanshift_kernel import cosine_shift_fixpoint
+
+        prot, sim = cosine_shift_fixpoint(
+            prototypes, box_mask.reshape(g, -1), f, tau=tau, temp=temp,
+            n_shift=n_shift, matmul_dtype=matmul_dtype,
+        )
+    else:
+        feats = f[None, :, :] * box_mask.reshape(g, -1, 1)
+        prot, sim = cosine_shift_batch(prototypes, feats, f, tau=tau, temp=temp,
+                                       n_shift=n_shift, matmul_dtype=matmul_dtype)
     return prot, jnp.maximum(sim.reshape(g, n_points, hp, wp), 0.0)
 
 
@@ -302,6 +313,7 @@ def semantic_centers(
     num_prototypes: int = 20,
     stride: int = 1,
     matmul_dtype=None,
+    use_pallas: bool = False,
 ) -> SemanticCenters:
     """Stage C driver (`get_semantic_centers:1995-2031`).
 
@@ -323,6 +335,7 @@ def semantic_centers(
     prot, sim = mean_shift_grid_prototype(
         map_fg_patch, vit_feat, rois, thr=pos_thr, n_shift=n_shift,
         n_points=num_prototypes, matmul_dtype=matmul_dtype,
+        use_pallas=use_pallas,
     )
     keep = filter_maps(sim, fg_inter)  # (G, K)
     keep = keep & valid[:, None]

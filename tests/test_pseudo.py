@@ -552,3 +552,34 @@ def test_stride_fast_vs_exact_gate():
             d = np.linalg.norm(ca[:, None] - cb[None], axis=-1)
             # each fast center within 12px of SOME exact center
             assert d.min(axis=1).max() <= 12.0, (g, d.min(axis=1))
+
+
+def test_meanshift_kernel_matches_jnp():
+    """The fused Stage-C fixpoint kernel (ops/meanshift_kernel.py,
+    interpret mode here) must reproduce cosine_shift_batch exactly:
+    same prototypes, same final similarity, including masked-out
+    instances and argmax tie semantics."""
+    import numpy as np
+
+    from attentionshift_tpu.ops.meanshift_kernel import cosine_shift_fixpoint
+    from attentionshift_tpu.pseudo.meanshift import cosine_shift_batch
+
+    rng = np.random.RandomState(0)
+    g, k, n, d = 4, 6, 40, 16
+    f = rng.randn(n, d).astype(np.float32)
+    mask = (rng.rand(g, n) > 0.4).astype(np.float32)
+    mask[2] = 0.0  # fully masked instance (a padded slot)
+    prot0 = rng.randn(g, k, d).astype(np.float32)
+
+    feats = f[None] * mask[..., None]
+    want_prot, want_sim = cosine_shift_batch(
+        jnp.asarray(prot0), jnp.asarray(feats), jnp.asarray(f), n_shift=4
+    )
+    got_prot, got_sim = cosine_shift_fixpoint(
+        jnp.asarray(prot0), jnp.asarray(mask), jnp.asarray(f), n_shift=4,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_prot), np.asarray(want_prot),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_sim), np.asarray(want_sim),
+                               rtol=1e-5, atol=1e-5)
