@@ -350,3 +350,54 @@ def test_shipped_configs_load_and_vitb_merges():
     assert cfg.pretrained == "mae_pretrain_vit_base.pth"
     # JitterBrightness plumb (reference COCO config `attnshift_..._qc.py:236`)
     assert 0 < cfg.data.brightness_delta < 0.1
+
+
+def test_cityscapes_converter(tmp_path):
+    """Synthetic gtFine tree -> COCO json with the reference's semantics
+    (`tools/dataset_converters/cityscapes.py` upstream): id>=1000 ->
+    label*1000+i instances, [24,1000) -> crowd, 8 categories."""
+    from PIL import Image
+
+    root = tmp_path / "cs"
+    for sub in ("leftImg8bit/val/cityA", "gtFine/val/cityA"):
+        (root / sub).mkdir(parents=True)
+    h, w = 40, 60
+    name = "cityA_000000_000019"
+    Image.new("RGB", (w, h)).save(
+        root / "leftImg8bit/val/cityA" / f"{name}_leftImg8bit.png")
+    inst = np.zeros((h, w), np.int32)
+    inst[5:15, 5:25] = 26000  # car instance 0
+    inst[20:35, 30:50] = 24001  # person instance 1
+    inst[2:6, 40:55] = 25  # rider CROWD region (id < 1000)
+    inst[0:3, 0:5] = 29000  # caravan: hasInstances but ignoreInEval -> dropped
+    Image.fromarray(inst, mode="I").save(
+        root / "gtFine/val/cityA" / f"{name}_gtFine_instanceIds.png")
+    Image.fromarray((inst // 1000).astype(np.uint8)).save(
+        root / "gtFine/val/cityA" / f"{name}_gtFine_labelIds.png")
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/dataset_converters/cityscapes.py"),
+         str(root), "-o", str(tmp_path / "out")],
+        capture_output=True, text=True, env=ENV, timeout=600,
+    )
+    # train/test splits are missing in the synthetic tree: expect failure
+    # AFTER val converted
+    out = tmp_path / "out" / "instancesonly_filtered_gtFine_val.json"
+    assert out.exists(), r.stderr
+    d = json.loads(out.read_text())
+    assert len(d["images"]) == 1
+    assert d["images"][0]["file_name"] == f"cityA/{name}_leftImg8bit.png"
+    annos = d["annotations"]
+    assert len(annos) == 3  # car + person + rider crowd; caravan dropped
+    by_cat = {a["category_id"]: a for a in annos}
+    assert set(by_cat) == {24, 25, 26}
+    assert by_cat[25]["iscrowd"] == 1 and by_cat[26]["iscrowd"] == 0
+    assert by_cat[26]["bbox"] == [5.0, 5.0, 20.0, 10.0]
+    assert by_cat[26]["area"] == 200.0
+    assert [c["id"] for c in d["categories"]] == [24, 25, 26, 27, 28, 31, 32, 33]
+    # RLE roundtrip
+    from attentionshift_tpu.native import rle_decode, rle_from_string
+
+    seg = by_cat[24]["segmentation"]
+    m = rle_decode(rle_from_string(seg["counts"], seg["size"]))
+    assert m.sum() == by_cat[24]["area"]
