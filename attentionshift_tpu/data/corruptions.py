@@ -4,10 +4,12 @@ Numpy/PIL reimplementation of the common-corruptions protocol the
 reference's robustness tools consume through the ``imagecorruptions``
 package (`tools/analysis_tools/test_robustness.py`,
 `robustness_eval.py`): named corruption functions at severities 1-5,
-applied to uint8 RGB images at eval time. The heavy weather corruptions
-(snow/frost/fog need external assets) are replaced by the
-photometric/noise/blur/digital families, which cover the benchmark's
-noise, blur and digital groups.
+applied to uint8 RGB images at eval time. Weather coverage: ``fog``
+(plasma fractal) and ``snow`` (procedural flake field) are implemented
+asset-free; ``frost`` is the one omission — it composites external
+frost photographs that cannot be shipped, so the robustness protocol
+here runs 12 of the suite's 15 corruptions (all noise/blur/digital
+groups plus fog and snow).
 
 All functions are deterministic given (img, severity, seed).
 """
@@ -99,6 +101,88 @@ def saturate(img, severity, seed=0):
     )
 
 
+def _plasma(h: int, w: int, r: np.random.RandomState, wibble: float) -> np.ndarray:
+    """Diamond-square plasma fractal in [0, 1] — the fog generator the
+    common-corruptions suite uses (procedural, no assets)."""
+    n = 1
+    while n < max(h, w):
+        n *= 2
+    a = np.zeros((n + 1, n + 1), np.float32)
+    a[0, 0], a[0, n], a[n, 0], a[n, n] = r.rand(4) * 2 - 1
+    step, scale = n, 1.0
+    while step > 1:
+        half = step // 2
+        # diamond
+        sq = a[0:n:step, 0:n:step]
+        diag = (sq + a[step::step, 0:n:step] + a[0:n:step, step::step]
+                + a[step::step, step::step]) / 4.0
+        a[half:n:step, half:n:step] = diag + (
+            r.rand(*diag.shape).astype(np.float32) * 2 - 1) * scale * wibble
+        # square
+        for dy, dx in ((0, half), (half, 0)):
+            ys = np.arange(dy, n + 1, step)
+            xs = np.arange(dx, n + 1, step)
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            acc = np.zeros(yy.shape, np.float32)
+            cnt = np.zeros(yy.shape, np.float32)
+            for oy, ox in ((-half, 0), (half, 0), (0, -half), (0, half)):
+                sy, sx = yy + oy, xx + ox
+                ok = (sy >= 0) & (sy <= n) & (sx >= 0) & (sx <= n)
+                acc[ok] += a[sy[ok], sx[ok]]
+                cnt[ok] += 1
+            a[yy, xx] = acc / cnt + (
+                r.rand(*yy.shape).astype(np.float32) * 2 - 1) * scale * wibble
+        step = half
+        scale *= wibble
+    p = a[:h, :w]
+    p -= p.min()
+    return p / max(p.max(), 1e-6)
+
+
+def fog(img, severity, seed=0):
+    """Plasma-fractal fog (asset-free, same construction as the
+    common-corruptions `fog`)."""
+    c = [(1.5, 2.0), (2.0, 2.0), (2.5, 1.7), (2.5, 1.5), (3.0, 1.4)][severity - 1]
+    r = _rng(img, severity, seed)
+    x = img.astype(np.float32) / 255.0
+    mx = x.max()
+    layer = _plasma(img.shape[0], img.shape[1], r, wibble=c[1] / 4.0)
+    x = x + c[0] * layer[..., None]
+    return _clip(x * mx / max(mx + c[0], 1e-6) * 255)
+
+
+def snow(img, severity, seed=0):
+    """Procedural snow: sparse gaussian flake field, motion-streaked,
+    composited over a whitened image (asset-free analog of the
+    common-corruptions `snow`, whose ImageMagick motion blur is replaced
+    by the same directional streak `motion_blur` uses)."""
+    c = [(0.1, 0.3, 3, 0.5, 4, 0.8),
+         (0.2, 0.3, 2, 0.5, 6, 0.7),
+         (0.55, 0.3, 4, 0.9, 8, 0.7),
+         (0.55, 0.3, 4.5, 0.85, 10, 0.65),
+         (0.55, 0.3, 2.5, 0.85, 12, 0.6)][severity - 1]
+    loc, scale, zoom, thr, streak, bright = c
+    r = _rng(img, severity, seed)
+    h, w = img.shape[:2]
+    # coarse flake field upsampled (zoom) -> threshold keeps sparse flakes
+    sh, sw = max(1, int(h / zoom)), max(1, int(w / zoom))
+    field = r.normal(loc, scale, (sh, sw)).astype(np.float32)
+    field = np.array(Image.fromarray(field, mode="F").resize((w, h), Image.BILINEAR))
+    field[field < thr] = 0.0
+    # directional streak (falling snow): reuse the separable motion kernel
+    pad = streak // 2
+    fp = np.pad(field, ((pad, pad), (0, 0)), mode="constant")
+    streaked = np.zeros_like(field)
+    for i in range(streak):
+        streaked += fp[i : i + h]
+    streaked = np.clip(streaked / max(streak * 0.55, 1.0), 0, 1)
+    x = img.astype(np.float32) / 255.0
+    gray = x.mean(-1, keepdims=True)
+    x = bright * x + (1 - bright) * np.maximum(x, gray * 1.5 + 0.5)
+    out = np.clip(x + streaked[..., None] + np.rot90(streaked, k=2)[..., None] * 0.4, 0, 1)
+    return _clip(out * 255)
+
+
 def jpeg_compression(img, severity, seed=0):
     q = [80, 65, 50, 35, 20][severity - 1]
     buf = io.BytesIO()
@@ -124,6 +208,8 @@ CORRUPTIONS = {
     "brightness": brightness,
     "contrast": contrast,
     "saturate": saturate,
+    "fog": fog,
+    "snow": snow,
     "jpeg_compression": jpeg_compression,
     "pixelate": pixelate,
 }
