@@ -47,8 +47,8 @@ __all__ = ["cosine_shift_fixpoint"]
 def _kernel(prot_ref, mask_ref, ft_ref, f_ref, nb_ref, out_prot_ref, out_sim_ref,
             *, n_shift, tau0, temp, mm):
     k, d = prot_ref.shape[1], prot_ref.shape[2]
-    n = mask_ref.shape[1]
-    mask = mask_ref[0]  # (N,) f32 0/1
+    n = mask_ref.shape[2]
+    mask = mask_ref[0, 0]  # (N,) f32 0/1
     nbase = nb_ref[0]  # (N,) raw feature norms
     nbm = jnp.maximum(nbase * mask, 1e-8)
     ft = ft_ref[...].astype(mm)  # (D, N)
@@ -138,7 +138,10 @@ def cosine_shift_fixpoint(
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, k, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n), lambda i: (i, 0)),
+            # mask rides a (G, 1, N) layout: a (1, N) block of a (G, N)
+            # array violates Mosaic's trailing-dims rule (second-to-last
+            # block dim must divide 8 or equal the array dim)
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
             pl.BlockSpec((d, n), lambda i: (0, 0)),
             pl.BlockSpec((n, d), lambda i: (0, 0)),
             pl.BlockSpec((1, n), lambda i: (0, 0)),
@@ -155,7 +158,7 @@ def cosine_shift_fixpoint(
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         prototypes.astype(jnp.float32),
-        box_mask.astype(jnp.float32),
+        box_mask.astype(jnp.float32)[:, None, :],
         f.astype(jnp.float32).T,
         f.astype(jnp.float32),
         nbase[None, :],

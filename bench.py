@@ -164,7 +164,7 @@ def main():
                          " 6 heads); vitb = the paper's AttnShift-B COCO row"
                          " (embed 768, 12 heads, configs/attnshift_coco_vitb"
                          ".py) — VERDICT round-2 item 5")
-    ap.add_argument("--variants", default="vitb",
+    ap.add_argument("--variants", default="vitb,exact",
                     help="comma list of secondary measurements recorded in "
                          "the JSON `variants` field after the headline: "
                          "`vitb` (AttnShift-B config) and/or `exact` "
