@@ -29,6 +29,23 @@ def _coords_of_flat(flat_idx: jnp.ndarray, width: int) -> jnp.ndarray:
     return jnp.stack([flat_idx // width, flat_idx % width], axis=-1)
 
 
+def _raster_cumsum(mask: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive raster-order count of True pixels, flattened (H*W,).
+
+    Integer-exact equal to ``cumsum(mask.reshape(-1))`` but decomposed as
+    a per-row scan plus a scan over row totals: a flat (H*W,) cumsum
+    forces XLA through log2(H*W) full-width passes in an awkward
+    relayout (round-4 trace: five s32 copies+scan fusions ~0.7 ms/step
+    at the bench shape); the 2-D form is log2(W) passes plus an (H,)
+    scan.
+    """
+    m = mask.astype(jnp.int32)
+    rows = jnp.cumsum(m, axis=-1)  # (H, W) within-row inclusive
+    row_tot = rows[:, -1]
+    prior = jnp.cumsum(row_tot) - row_tot  # exclusive prefix of rows
+    return (rows + prior[:, None]).reshape(-1)
+
+
 def sample_in_mask(rng: jax.Array, mask: jnp.ndarray, k: int):
     """Draw k eligible pixels uniformly with replacement.
 
@@ -37,8 +54,7 @@ def sample_in_mask(rng: jax.Array, mask: jnp.ndarray, k: int):
     ``n_eligible``.
     """
     h, w = mask.shape
-    flat = mask.reshape(-1)
-    cnt = jnp.cumsum(flat.astype(jnp.int32))
+    cnt = _raster_cumsum(mask)
     n = cnt[-1]
     r = jax.random.randint(rng, (k,), 0, jnp.maximum(n, 1))
     idx = jnp.searchsorted(cnt, r + 1)
@@ -54,8 +70,7 @@ def strided_in_mask(mask: jnp.ndarray, k: int):
     the start (the reference's ``fill_in_idx`` repetition).
     """
     h, w = mask.shape
-    flat = mask.reshape(-1)
-    cnt = jnp.cumsum(flat.astype(jnp.int32))
+    cnt = _raster_cumsum(mask)
     n = cnt[-1]
     step = jnp.maximum(n // k, 1)
     ranks = jnp.arange(k, dtype=jnp.int32) * step  # 0-based ranks
