@@ -138,9 +138,12 @@ def _shift(x: jnp.ndarray, s: int, axis: int, fill_val, forward: bool) -> jnp.nd
 def _batch_sweep_body(fg, big):
     """Build the sweep fn over (M, H, W) labels (shared by kernel + jnp).
 
-    All mask state is int32 (0/1): Mosaic cannot shift/concat i1 vectors.
+    All mask state is an int dtype (0/1): Mosaic cannot shift/concat i1
+    vectors. Masks ride ``big``'s dtype so int16 labeling halves their
+    traffic too.
     """
-    blocked0 = 1 - fg.astype(jnp.int32)
+    idt = big.dtype
+    blocked0 = (1 - fg.astype(jnp.int32)).astype(idt)
     m, h, w = fg.shape
 
     def seg_scan(vals, axis, reverse):
@@ -154,7 +157,7 @@ def _batch_sweep_body(fg, big):
         n = vals.shape[axis]
         while s < n:
             v2 = _shift(v, s, axis, big, fwd)
-            b2 = _shift(b, s, axis, jnp.int32(1), fwd)
+            b2 = _shift(b, s, axis, jnp.asarray(1, idt), fwd)
             v = jnp.where(b == 1, v, jnp.minimum(v, v2))
             b = jnp.maximum(b, b2)
             s *= 2
@@ -182,10 +185,17 @@ def _batch_sweep_body(fg, big):
     return sweep
 
 
-def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters, transposed=False):
+def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters, transposed=False,
+                      label_dtype=jnp.int32):
     fg = fg_ref[...] != 0  # (M, H, W) — or (M, W, H) when transposed
     m, h, w = fg.shape
-    big = jnp.int32(2**30)
+    # int16 labels when H*W < 2^15-1 (the default-stride planes): flat
+    # indices fit and every sweep moves half the bytes through the VPU.
+    # The bg sentinel is int16 max — strictly above any real flat index;
+    # nothing ever adds to it (min/select only), and the +1 of the
+    # output happens after the int32 cast.
+    big = (jnp.int16(2**15 - 1) if label_dtype == jnp.int16
+           else jnp.int32(2**30))
     if transposed:
         # maps arrive as (M, W_orig, H_orig): axis1 = original x, axis2 =
         # original y. Labels must stay min-ORIGINAL-flat-index (+1) for
@@ -196,7 +206,7 @@ def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters, transposed=False):
     else:
         iota = jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 1) * w + \
             jax.lax.broadcasted_iota(jnp.int32, (m, h, w), 2)
-    init = jnp.where(fg, iota, big)
+    init = jnp.where(fg, iota.astype(label_dtype), big)
     sweep = _batch_sweep_body(fg, big)
 
     def cond(state):
@@ -209,7 +219,7 @@ def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters, transposed=False):
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
-    out_ref[...] = jnp.where(fg, labels + 1, 0)
+    out_ref[...] = jnp.where(fg, labels.astype(jnp.int32) + 1, 0)
 
 
 def connected_components_batch(
@@ -269,7 +279,8 @@ def connected_components_batch(
         x = jnp.pad(x, ((0, pad_m - m), (0, 0), (0, 0)))
     out = pl.pallas_call(
         functools.partial(
-            _ccl_batch_kernel, max_iters=max_iters, transposed=transposed
+            _ccl_batch_kernel, max_iters=max_iters, transposed=transposed,
+            label_dtype=jnp.int16 if h * w < 2**15 - 1 else jnp.int32,
         ),
         grid=(pad_m // tile,),
         in_specs=[pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0))],

@@ -364,3 +364,34 @@ def test_lsa_kernel_row_valid():
     assert np.isclose(cost[valid, got[valid]].sum(), sub[rows, cols].sum(),
                       atol=1e-4)
     assert len(set(got[valid].tolist())) == valid.sum()
+
+
+def test_ccl_batch_int16_parity_at_bench_plane():
+    """The pallas batch CCL switches to int16 labels below 2^15-1 cells;
+    the bench plane (100x168 = 16800 cells) sits ABOVE the int16
+    sentinel bug threshold (2^14), so this pins the sentinel choice."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    from attentionshift_tpu.ops import ccl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    rng = np.random.RandomState(0)
+    masks = np.zeros((6, 100, 168), bool)
+    for i in range(6):
+        for _ in range(3):
+            r, c = rng.randint(10, 90), rng.randint(10, 150)
+            masks[i, r - 7:r + 7, c - 9:c + 9] = True
+    want = jax.vmap(lambda m: ccl.connected_components(m, 8, 64))(
+        jnp.asarray(masks))
+    with mock.patch.object(pl, "pallas_call", interp):
+        got = ccl.connected_components_batch(
+            jnp.asarray(masks), 8, 64, use_pallas=True)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
