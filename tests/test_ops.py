@@ -374,6 +374,8 @@ def test_ccl_batch_int16_parity_at_bench_plane():
 
     import jax.experimental.pallas as pl
 
+    import jax
+
     from attentionshift_tpu.ops import ccl
 
     orig = pl.pallas_call
