@@ -145,7 +145,6 @@ def hungarian_point_assign(
     cls_weight: float = 1.0,
     reg_weight: float = 10.0,
     times: int = 1,
-    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """(P,) assigned_gt in {0 = neg, i+1 = matched gt i}.
 
@@ -174,17 +173,7 @@ def hungarian_point_assign(
         # LSA over (G, P) with P >= G picks one token per gt; invalid gt
         # rows are skipped inside the solver (each skipped row saves a
         # whole augmentation) and return -1
-        if use_pallas:
-            # single-kernel Hungarian: same algorithm, the serialized
-            # Dijkstra micro-ops compile to straight-line vector code
-            # (ops/lsa_kernel.py; ~0.76 ms/step of XLA loop dispatch at
-            # the bench shape otherwise)
-            from ..ops.lsa_kernel import linear_sum_assignment_kernel
-
-            row4col = linear_sum_assignment_kernel(
-                masked.T, row_valid=gt_valid)
-        else:
-            row4col = linear_sum_assignment(masked.T, row_valid=gt_valid)
+        row4col = linear_sum_assignment(masked.T, row_valid=gt_valid)
         ok = gt_valid & (row4col >= 0) & (
             masked.T[jnp.arange(g), jnp.maximum(row4col, 0)] < big / 2
         )

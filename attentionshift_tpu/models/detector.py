@@ -248,7 +248,7 @@ class AttnShiftDetector(nn.Module):
             def assign_student(cls_p, reg_p, pts, lbls, val, wh):
                 return hungarian_point_assign(
                     jax.lax.stop_gradient(cls_p), jax.lax.stop_gradient(reg_p),
-                    pts, lbls, val, wh, use_pallas=self.use_pallas_ccl,
+                    pts, lbls, val, wh,
                 )
 
             assigned = jax.vmap(assign_student)(
@@ -389,7 +389,7 @@ class AttnShiftDetector(nn.Module):
         def assign_one(cls_p, reg_p, pts, lbls, val, wh):
             return hungarian_point_assign(
                 jax.lax.stop_gradient(cls_p), jax.lax.stop_gradient(reg_p),
-                pts, lbls, val, wh, use_pallas=self.use_pallas_ccl,
+                pts, lbls, val, wh,
             )
 
         assigned = jax.vmap(assign_one)(
