@@ -330,42 +330,6 @@ def test_connected_components_batch_large_plane_vmem_guard():
             np.testing.assert_array_equal(got[i], want)
 
 
-@pytest.mark.parametrize("seed", range(6))
-@pytest.mark.parametrize("n,m", [(5, 10), (20, 100), (7, 7)])
-def test_lsa_kernel_matches_scipy(n, m, seed):
-    """ops/lsa_kernel.py (interpret mode) vs scipy — same optimum cost,
-    all rows matched to distinct columns."""
-    from scipy.optimize import linear_sum_assignment as scipy_lsa
-
-    from attentionshift_tpu.ops.lsa_kernel import linear_sum_assignment_kernel
-
-    cost = np.random.RandomState(seed).rand(n, m).astype(np.float32)
-    rows, cols = scipy_lsa(cost)
-    got = np.asarray(
-        linear_sum_assignment_kernel(jnp.asarray(cost), interpret=True))
-    assert len(set(got.tolist())) == n  # one-to-one
-    assert np.isclose(cost[np.arange(n), got].sum(),
-                      cost[rows, cols].sum(), atol=1e-4)
-
-
-def test_lsa_kernel_row_valid():
-    from scipy.optimize import linear_sum_assignment as scipy_lsa
-
-    from attentionshift_tpu.ops.lsa_kernel import linear_sum_assignment_kernel
-
-    rng = np.random.RandomState(3)
-    n, m = 8, 30
-    cost = rng.rand(n, m).astype(np.float32)
-    valid = np.asarray([True, True, False, True, False, True, True, False])
-    got = np.asarray(linear_sum_assignment_kernel(
-        jnp.asarray(cost), row_valid=jnp.asarray(valid), interpret=True))
-    sub = cost[valid]
-    rows, cols = scipy_lsa(sub)
-    assert np.isclose(cost[valid, got[valid]].sum(), sub[rows, cols].sum(),
-                      atol=1e-4)
-    assert len(set(got[valid].tolist())) == valid.sum()
-
-
 def test_ccl_batch_int16_parity_at_bench_plane():
     """The pallas batch CCL switches to int16 labels below 2^15-1 cells;
     the bench plane (100x168 = 16800 cells) sits ABOVE the int16
