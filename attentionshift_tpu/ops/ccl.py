@@ -189,13 +189,11 @@ def _ccl_batch_kernel(fg_ref, out_ref, *, max_iters, transposed=False,
                       label_dtype=jnp.int32):
     fg = fg_ref[...] != 0  # (M, H, W) — or (M, W, H) when transposed
     m, h, w = fg.shape
-    # int16 labels when H*W < 2^15-1 (the default-stride planes): flat
-    # indices fit and every sweep moves half the bytes through the VPU.
-    # The bg sentinel is int16 max — strictly above any real flat index;
-    # nothing ever adds to it (min/select only), and the +1 of the
-    # output happens after the int32 cast.
-    big = (jnp.int16(2**15 - 1) if label_dtype == jnp.int16
-           else jnp.int32(2**30))
+    # NOTE (round 4): int16 labels (planes < 2^15 cells) were tried to
+    # halve sweep traffic; Mosaic rejected the mixed 16-bit/boolean
+    # select layouts on-chip ("Invalid relayout ... vector<...xi1>").
+    # Labels stay int32.
+    big = jnp.int32(2**30)
     if transposed:
         # maps arrive as (M, W_orig, H_orig): axis1 = original x, axis2 =
         # original y. Labels must stay min-ORIGINAL-flat-index (+1) for
@@ -280,7 +278,6 @@ def connected_components_batch(
     out = pl.pallas_call(
         functools.partial(
             _ccl_batch_kernel, max_iters=max_iters, transposed=transposed,
-            label_dtype=jnp.int16 if h * w < 2**15 - 1 else jnp.int32,
         ),
         grid=(pad_m // tile,),
         in_specs=[pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0))],
