@@ -30,6 +30,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+try:  # TPU compiler knobs (absent on pure-CPU jax builds)
+    from jax.experimental.pallas import tpu as pltpu
+
+    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+except Exception:  # pragma: no cover
+    _COMPILER_PARAMS = None
+
 __all__ = ["connected_components", "connected_components_batch"]
 
 
@@ -261,10 +268,15 @@ def connected_components_batch(
     per_map = h_sub * w_lanes * 4
     tile = m
     # ~12 live temporaries during a sweep (measured against Mosaic's
-    # scoped-vmem accounting); keep the stack under ~10MB of the 16MB
-    while tile > 1 and tile * per_map * 12 > 10 * 2**20:
+    # scoped-vmem accounting). Round 4: the kernel now raises
+    # vmem_limit_bytes to 100MB (the attention kernel's proven budget on
+    # v5e), so the tile cap moves from ~10MB to ~60MB of stack — fewer,
+    # larger grid programs (18 -> 3 at the bench shape) amortise the
+    # per-program fixed cost; convergence sweeps are bounded by the
+    # worst plane either way.
+    while tile > 1 and tile * per_map * 12 > 60 * 2**20:
         tile = (tile + 1) // 2
-    if tile * per_map * 12 > 10 * 2**20:
+    if tile * per_map * 12 > 60 * 2**20:
         # a single plane no longer fits VMEM-resident (cam_stride<=2 at
         # 800x1344): stream through HBM via the XLA segmented-scan path
         # instead of tripping Mosaic's scoped-vmem stack limit
@@ -283,6 +295,7 @@ def connected_components_batch(
         in_specs=[pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((pad_m, h, w), jnp.int32),
+        compiler_params=_COMPILER_PARAMS,
     )(x)
     if transposed:
         out = out.transpose(0, 2, 1)

@@ -316,9 +316,9 @@ def test_connected_components_batch_large_plane_vmem_guard():
     )
 
     rng = np.random.RandomState(5)
-    # one plane over the ~218k-cell budget (464x512 padded), plus the
-    # transposed-orientation case
-    for h, w in [(460, 500), (500, 460)]:
+    # one plane over the ~1.31M-cell budget (60MB scoped stack / 12
+    # temporaries, round-4 raise), plus the transposed-orientation case
+    for h, w in [(1100, 1200), (1200, 1100)]:
         masks = np.stack(
             [ndimage.gaussian_filter(rng.rand(h, w), 9) > 0.5 for _ in range(2)]
         )
@@ -330,10 +330,9 @@ def test_connected_components_batch_large_plane_vmem_guard():
             np.testing.assert_array_equal(got[i], want)
 
 
-def test_ccl_batch_int16_parity_at_bench_plane():
-    """The pallas batch CCL switches to int16 labels below 2^15-1 cells;
-    the bench plane (100x168 = 16800 cells) sits ABOVE the int16
-    sentinel bug threshold (2^14), so this pins the sentinel choice."""
+def test_ccl_batch_pallas_parity_at_bench_plane():
+    """Pallas batch CCL vs the XLA path at the exact bench plane
+    geometry (100x168, the transposed-orientation branch)."""
     from unittest import mock
 
     import jax.experimental.pallas as pl
