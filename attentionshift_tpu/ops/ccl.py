@@ -268,15 +268,14 @@ def connected_components_batch(
     per_map = h_sub * w_lanes * 4
     tile = m
     # ~12 live temporaries during a sweep (measured against Mosaic's
-    # scoped-vmem accounting). Round 4: the kernel now raises
-    # vmem_limit_bytes to 100MB (the attention kernel's proven budget on
-    # v5e), so the tile cap moves from ~10MB to ~60MB of stack — fewer,
-    # larger grid programs (18 -> 3 at the bench shape) amortise the
-    # per-program fixed cost; convergence sweeps are bounded by the
-    # worst plane either way.
-    while tile > 1 and tile * per_map * 12 > 60 * 2**20:
+    # scoped-vmem accounting); keep the stack under ~10MB. Round 4 A/B:
+    # a 60MB budget (tile 8 -> 56, 3 grid programs) measured ~8% SLOWER
+    # end-to-end — each program's while runs max-sweeps over its whole
+    # tile, so small tiles of all-converged (zero/padding) planes exit
+    # after one sweep while big mixed tiles drag them along.
+    while tile > 1 and tile * per_map * 12 > 10 * 2**20:
         tile = (tile + 1) // 2
-    if tile * per_map * 12 > 60 * 2**20:
+    if tile * per_map * 12 > 10 * 2**20:
         # a single plane no longer fits VMEM-resident (cam_stride<=2 at
         # 800x1344): stream through HBM via the XLA segmented-scan path
         # instead of tripping Mosaic's scoped-vmem stack limit

@@ -316,9 +316,9 @@ def test_connected_components_batch_large_plane_vmem_guard():
     )
 
     rng = np.random.RandomState(5)
-    # one plane over the ~1.31M-cell budget (60MB scoped stack / 12
-    # temporaries, round-4 raise), plus the transposed-orientation case
-    for h, w in [(1100, 1200), (1200, 1100)]:
+    # one plane over the ~218k-cell budget (10MB scoped stack / 12
+    # temporaries), plus the transposed-orientation case
+    for h, w in [(460, 500), (500, 460)]:
         masks = np.stack(
             [ndimage.gaussian_filter(rng.rand(h, w), 9) > 0.5 for _ in range(2)]
         )
