@@ -18,13 +18,17 @@ model = dict(
     max_gt=20,
     seed_thr=0.2,
     seed_multiple=0.5,
-    # Stage-A CCL stride. 8 is the fidelity-gated fast-path default
-    # (FIDELITY.md: isolated-stride candidate-box IoU p50 0.84 / p90 0.99
-    # vs stride 1, MIL layer agreement 1.0, final mask IoU p50 0.91 on
-    # the stable subset); bench.py measures THIS config, so the headline
-    # number and the shipped training setting are the same thing
-    # (VERDICT round-3 item 2). Exact reference semantics: cam_stride=1.
-    cam_stride=8,
+    # Stage-A CCL stride. 16 (= the ViT patch stride, so the CCL plane
+    # IS the patch grid) dominates 8 on candidate-box fidelity vs the
+    # exact stride-1 path at the bench geometry — FIDELITY.md round-4
+    # study on the committed ckpt3k fixture, n=56: stride-16 candidate
+    # IoU p10/p50/p90 = 0.44/0.97/1.00 vs stride-8's 0.29/0.87/0.99
+    # (bilinear upsampling past patch res only adds threshold aliasing
+    # at component boundaries) — and runs the CCL/extraction on 4x
+    # fewer cells. bench.py measures THIS config, so the headline number
+    # and the shipped training setting are the same thing (VERDICT
+    # round-3 item 2). Exact reference semantics: cam_stride=1.
+    cam_stride=16,
     pos_mask_thr=0.35,
     neg_mask_thr=0.8,
     num_mask_point_gt=10,
