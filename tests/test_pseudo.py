@@ -496,18 +496,22 @@ def test_stride_fast_vs_exact_gate():
              np.zeros((1, G, G), np.float32)], axis=-1)
     )  # (L=1, P=G, T)
     assigned = jnp.arange(G)
-    bx_fast, _ = candidate_boxes(rows, assigned, gt_points, (Hp, Wp), (H, W),
-                                 cam_stride=4, ccl_iters=64)
     bx_exact, _ = candidate_boxes(rows, assigned, gt_points, (Hp, Wp), (H, W),
                                   cam_stride=1, ccl_iters=256)
-    for g in range(G):
-        a, b = np.asarray(bx_fast[g, 0]), np.asarray(bx_exact[g, 0])
-        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
-        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
-        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
-        ar = lambda r: (r[2] - r[0]) * (r[3] - r[1])
-        iou = inter / max(ar(a) + ar(b) - inter, 1e-6)
-        assert iou >= 0.9, (g, a, b, iou)
+    # stride 16 = the SHIPPED flagship default (FIDELITY.md round-4
+    # gate: dominates stride 8 at both studied geometries); 4 kept as
+    # the legacy fast-path bound
+    for stride in (4, 16):
+        bx_fast, _ = candidate_boxes(rows, assigned, gt_points, (Hp, Wp),
+                                     (H, W), cam_stride=stride, ccl_iters=64)
+        for g in range(G):
+            a, b = np.asarray(bx_fast[g, 0]), np.asarray(bx_exact[g, 0])
+            x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+            x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+            inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+            ar = lambda r: (r[2] - r[0]) * (r[3] - r[1])
+            iou = inter / max(ar(a) + ar(b) - inter, 1e-6)
+            assert iou >= 0.9, (stride, g, a, b, iou)
 
     # ---- Stage B/C gate: map_stride 4 vs 1, shared seed points.
     # Seeds are CONSTRUCTED (deterministic grids strictly inside each
