@@ -99,17 +99,12 @@ def linear_sum_assignment(
         return u, v, p
 
     if row_valid is not None:
-        # dynamic trip count over the valid rows only: the cond-gated
-        # formulation still paid the fori scaffolding (~22us of op
-        # dispatch) for every skipped padding row — 12 of 20 slots at
-        # the bench shape. ``argsort`` of the invalid mask is stable, so
-        # valid rows are processed in their original relative order:
-        # the identical solve_row call sequence, 8 iterations not 20.
         inner_solve = solve_row
-        order = jnp.argsort(~row_valid)  # valid-row indices first
 
-        def solve_row(i, state):  # noqa: F811 — remapped-row wrapper
-            return inner_solve(order[i], state)
+        def solve_row(i, state):  # noqa: F811 — cond-gated wrapper
+            return jax.lax.cond(
+                row_valid[i], lambda: inner_solve(i, state), lambda: state
+            )
 
     # NOTE (round 4): a Jonker-Volgenant dual init (v = col minima,
     # u = row minima of reduced costs) was tried to cut Dijkstra
@@ -120,8 +115,7 @@ def linear_sum_assignment(
     u0 = jnp.zeros((n,))
     v0 = jnp.zeros((m,))
     p0 = jnp.full((m,), -1, dtype=jnp.int32)
-    n_rows = n if row_valid is None else row_valid.sum().astype(jnp.int32)
-    _, _, p = jax.lax.fori_loop(0, n_rows, solve_row, (u0, v0, p0))
+    _, _, p = jax.lax.fori_loop(0, n, solve_row, (u0, v0, p0))
 
     # invert: col assigned to each row
     row4col = p  # (m,)
