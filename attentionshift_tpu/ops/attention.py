@@ -399,24 +399,40 @@ def _fwd(q, k, v, use_pallas, interpret, pad_interval):
 
 def _bwd(use_pallas, interpret, pad_interval, res, grads):
     q, k, v = res
-    # matmul operands stay in the storage dtype (bf16 on TPU) with f32
-    # accumulation; softmax math is f32
+    # matmul operands AND the recomputed (T, T) stages ride the storage
+    # dtype (bf16 on TPU) with f32 accumulation. The softmax recompute
+    # uses the forward kernel's constant-shift exp2 scheme (row-max-free
+    # with the same over/underflow guards): the row-max formulation
+    # forced a full f32 (B, H, T, T) logits materialisation before the
+    # reduction — at the bench shape that alone is 454MB/layer of HBM,
+    # and the round-4 train-step trace put the block backward at
+    # ~90 ms/step. Probabilities are in [0, 1]; bf16 staging of the
+    # (T, T) tensors rounds GRADIENTS by ~0.4%, the precision the model
+    # already trains at (f32 models keep an exact f32 chain since
+    # mm == float32 there).
     mm = q.dtype
     g_out = grads[0].astype(mm)  # mean_probs grad is zero
     d = q.shape[-1]
+    qs = q * jnp.asarray(d**-0.5 * _LOG2E, q.dtype)
     logits = jnp.einsum(
-        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
-    ) * (d**-0.5)
+        "bhtd,bhsd->bhts", qs, k, preferred_element_type=jnp.float32
+    ) - _SOFTMAX_SHIFT
     if pad_interval is not None:
         logits = logits + _interval_mask(q.shape[2], pad_interval)
-    p = jax.nn.softmax(logits, axis=-1)
-    pm = p.astype(mm)
+    e = jnp.exp2(jnp.minimum(logits, 100.0)).astype(mm)
+    recip = 1.0 / jnp.maximum(
+        jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True), 1e-30
+    )  # (B, H, T, 1) f32
+    pm = (e.astype(jnp.float32) * recip).astype(mm)
     gv = jnp.einsum("bhts,bhtd->bhsd", pm, g_out, preferred_element_type=jnp.float32)
     gp = jnp.einsum(
         "bhtd,bhsd->bhts", g_out, v, preferred_element_type=jnp.float32
-    )
-    gl = p * (gp - (gp * p).sum(-1, keepdims=True))
-    glm = gl.astype(mm)
+    ).astype(mm)
+    # D_t = sum_s p_ts * gp_ts, f32 accumulation from the staged tensors
+    dd = jnp.einsum("bhts,bhts->bht", pm, gp,
+                    preferred_element_type=jnp.float32)[..., None]
+    glm = (pm.astype(jnp.float32)
+           * (gp.astype(jnp.float32) - dd)).astype(mm)
     gq = jnp.einsum(
         "bhts,bhsd->bhtd", glm, k, preferred_element_type=jnp.float32
     ) * (d**-0.5)

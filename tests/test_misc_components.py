@@ -175,3 +175,27 @@ def test_eval_map_box():
         [np.asarray([0.9, 0.8])], gt, gl, num_classes=2,
     )
     assert np.isclose(m2, 0.5, atol=1e-9)
+
+
+def test_attention_backward_matches_softmax_grads():
+    """The custom-VJP backward (round 4: constant-shift exp2 recompute,
+    storage-dtype staging — no f32 (T,T) materialisation) must match
+    jax.grad of the plain-softmax reference on f32 inputs."""
+    import jax
+
+    from attentionshift_tpu.ops import attention as att
+
+    rng = np.random.RandomState(0)
+    B, H, T, D = 1, 2, 37, 8
+    q, k, v, g = (jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+                  for _ in range(4))
+
+    for pad in (None, (30, 37)):
+        ref = lambda q, k, v: att._jnp_reference(q, k, v, pad)[0]
+        ours = lambda q, k, v: att.attention_no_capture(
+            q, k, v, use_pallas=False, pad_interval=pad)
+        gr = jax.vjp(ref, q, k, v)[1](g)
+        go = jax.vjp(ours, q, k, v)[1](g)
+        for a, b, nme in zip(gr, go, "qkv"):
+            diff = float(jnp.max(jnp.abs(a - b)))
+            assert diff < 3e-5, (pad, nme, diff)
