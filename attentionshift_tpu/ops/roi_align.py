@@ -102,9 +102,24 @@ def roi_align(
     wy = jax.vmap(lambda cds: _interp_matrix(cds, h))(ys)  # (N, S, H)
     wx = jax.vmap(lambda cds: _interp_matrix(cds, w))(xs)  # (N, S, W)
 
-    per_roi_feats = feats[batch_idx]  # (N, C, H, W)
-    # (N, C, S, W) <- (N, S, H) x (N, C, H, W)
-    tmp = jnp.einsum("nsh,nchw->ncsw", wy, per_roi_feats, preferred_element_type=jnp.float32)
+    if b == 1:
+        # single-image batch (the reference's per-chip training batch):
+        # contracting against the shared feature map is ONE dense
+        # (N*S, H) @ (H, C*W) matmul. The general path's
+        # ``feats[batch_idx]`` gather materialises an (N, C, H, W)
+        # per-roi copy (1.65 GB at the train shape) and its transpose
+        # becomes a scatter-add in the backward — the round-4 train-step
+        # trace put that line at ~30 ms/step.
+        tmp = jnp.einsum(
+            "nsh,chw->ncsw", wy, feats[0], preferred_element_type=jnp.float32
+        )
+    else:
+        per_roi_feats = feats[batch_idx]  # (N, C, H, W)
+        # (N, C, S, W) <- (N, S, H) x (N, C, H, W)
+        tmp = jnp.einsum(
+            "nsh,nchw->ncsw", wy, per_roi_feats,
+            preferred_element_type=jnp.float32,
+        )
     # the (N, C, S, W) intermediate is the dominant HBM cost of the
     # separable form; store it in the feature dtype (bf16 on TPU) —
     # interpolation weights are exact in bf16's range and the second
