@@ -167,6 +167,14 @@ def test_roi_align_matches_reference():
     out = ops.roi_align(jnp.asarray(feats), jnp.asarray(rois), 1 / 16, 7, 2, True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
 
+    # B == 1 takes the gather-free shared-feature-map matmul branch
+    f1 = feats[:1]
+    r1 = rois.copy()
+    r1[:, 0] = 0
+    ref1 = _np_roi_align(f1, r1, 1 / 16, 7, 2, True)
+    out1 = ops.roi_align(jnp.asarray(f1), jnp.asarray(r1), 1 / 16, 7, 2, True)
+    np.testing.assert_allclose(np.asarray(out1), ref1, atol=1e-4, rtol=1e-4)
+
 
 # ---------------------------------------------------------------- point_sample
 
