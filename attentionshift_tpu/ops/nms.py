@@ -55,24 +55,43 @@ def nms(
     iou = box_iou(boxes, boxes)
     alive = jnp.ones((n,), dtype=jnp.bool_) if valid is None else valid.astype(jnp.bool_)
 
-    def body(i, state):
-        alive, keep_idx, keep_valid = state
-        masked = jnp.where(alive, scores, -jnp.inf)
-        best = jnp.argmax(masked)
-        ok = masked[best] > -jnp.inf
-        keep_idx = keep_idx.at[i].set(jnp.where(ok, best, 0))
-        keep_valid = keep_valid.at[i].set(ok)
-        suppress = iou[best] > iou_threshold
-        alive = alive & ~suppress & (jnp.arange(n) != best)
-        alive = jnp.where(ok, alive, jnp.zeros_like(alive))
-        return alive, keep_idx, keep_valid
+    # EXACT greedy NMS as a suppression fixpoint instead of max_out
+    # sequential argmax iterations (round 4: the old loop cost ~11 ms of
+    # serialized op latency at the RPN's 2000->1000 shape; this converges
+    # in <= longest-suppression-chain iterations, typically < 20, each a
+    # vectorized (N, N) masked reduce). Greedy keeps box i iff no KEPT
+    # higher-precedence box suppresses it — a triangular recurrence whose
+    # unique fixpoint the while_loop below reaches; precedence replicates
+    # argmax tie semantics (higher score wins, first index on ties).
+    idx = jnp.arange(n)
+    prec = (scores[:, None] > scores[None, :]) | (
+        (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :])
+    )  # prec[j, i]: j is selected before i by the greedy scan
+    sup = prec & (iou > iou_threshold) & alive[:, None] & alive[None, :]
 
-    keep_idx = jnp.zeros((max_out,), dtype=jnp.int32)
-    keep_valid = jnp.zeros((max_out,), dtype=jnp.bool_)
-    _, keep_idx, keep_valid = jax.lax.fori_loop(
-        0, max_out, body, (alive, keep_idx, keep_valid)
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < n)
+
+    def body(state):
+        kept, _, it = state
+        new = alive & ~jnp.any(sup & kept[:, None], axis=0)
+        return new, jnp.any(new != kept), it + 1
+
+    kept, _, _ = jax.lax.while_loop(cond, body, (alive, jnp.bool_(True), 0))
+
+    # emit in the greedy selection order = kept boxes by (score desc,
+    # index asc); top_k is stable (first index wins ties)
+    k = min(max_out, n)
+    top_scores, keep_idx = jax.lax.top_k(
+        jnp.where(kept, scores, -jnp.inf), k
     )
-    return keep_idx, keep_valid
+    if k < max_out:
+        top_scores = jnp.pad(top_scores, (0, max_out - k),
+                             constant_values=-jnp.inf)
+        keep_idx = jnp.pad(keep_idx, (0, max_out - k))
+    keep_valid = top_scores > -jnp.inf
+    return (jnp.where(keep_valid, keep_idx, 0).astype(jnp.int32), keep_valid)
 
 
 def batched_nms(

@@ -368,3 +368,43 @@ def test_ccl_batch_pallas_parity_at_bench_plane():
         got = ccl.connected_components_batch(
             jnp.asarray(masks), 8, 64, use_pallas=True)
     assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The round-4 suppression-fixpoint NMS must reproduce sequential
+    greedy argmax NMS exactly — kept set, order, validity — including
+    score ties (first index wins) and invalid candidates."""
+    from attentionshift_tpu.ops.nms import box_iou, nms
+
+    def greedy_ref(boxes, scores, thr, max_out, valid):
+        alive = valid.copy()
+        iou = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+        keep = np.zeros(max_out, np.int32)
+        kv = np.zeros(max_out, bool)
+        for i in range(max_out):
+            masked = np.where(alive, scores, -np.inf)
+            b = int(np.argmax(masked))
+            if masked[b] == -np.inf:
+                break
+            keep[i], kv[i] = b, True
+            alive &= ~(iou[b] > thr)
+            alive[b] = False
+        return keep, kv
+
+    rng = np.random.RandomState(0)
+    for trial in range(25):
+        n = rng.randint(5, 120)
+        wh = np.abs(rng.randn(n, 4).astype(np.float32)) * 30
+        boxes = np.stack([wh[:, 0], wh[:, 1], wh[:, 0] + wh[:, 2] + 1,
+                          wh[:, 1] + wh[:, 3] + 1], 1)
+        scores = rng.rand(n).astype(np.float32)
+        if trial % 3 == 0:
+            scores = np.round(scores, 1)  # force ties
+        valid = rng.rand(n) > 0.2
+        mo = rng.randint(1, n + 5)
+        thr = float(rng.choice([0.3, 0.5, 0.7]))
+        ki, kv = nms(jnp.asarray(boxes), jnp.asarray(scores), thr, mo,
+                     jnp.asarray(valid))
+        rk, rv = greedy_ref(boxes, scores, thr, mo, valid.copy())
+        assert np.array_equal(np.asarray(kv), rv), trial
+        assert np.array_equal(np.asarray(ki)[rv], rk[rv]), trial
