@@ -171,16 +171,21 @@ def _batch_sweep_body(fg, big):
         return v
 
     def neighbor_min(labels):
-        p = jnp.pad(labels, ((0, 0), (1, 1), (1, 1)), constant_values=big)
-        out = labels
-        for dy in range(3):
-            for dx in range(3):
-                if dy == 1 and dx == 1:
-                    continue
-                out = jnp.minimum(
-                    out, jax.lax.slice(p, (0, dy, dx), (m, dy + h, dx + w))
-                )
-        return out
+        # separable 3x3 min (horizontal pass then vertical): 4 shifted
+        # slices instead of 8. Includes the centre — harmless, the sweep
+        # takes min(labels, neighbor_min(labels)) anyway, and the
+        # separable closure of the 8-neighbourhood equals the full
+        # window min for the min semiring.
+        ph = jnp.pad(labels, ((0, 0), (0, 0), (1, 1)), constant_values=big)
+        hmin = jnp.minimum(
+            jnp.minimum(labels, jax.lax.slice(ph, (0, 0, 0), (m, h, w))),
+            jax.lax.slice(ph, (0, 0, 2), (m, h, w + 2)),
+        )
+        pv = jnp.pad(hmin, ((0, 0), (1, 1), (0, 0)), constant_values=big)
+        return jnp.minimum(
+            jnp.minimum(hmin, jax.lax.slice(pv, (0, 0, 0), (m, h, w))),
+            jax.lax.slice(pv, (0, 2, 0), (m, h + 2, w)),
+        )
 
     def sweep(labels):
         labels = jnp.where(fg, jnp.minimum(labels, neighbor_min(labels)), big)
