@@ -83,10 +83,19 @@ class AttnShiftDetector(nn.Module):
     max_gt: int = 20
     seed_thr: float = 0.2
     seed_multiple: float = 0.5
-    # CAMs are bilinear upsamplings of 16px-granular patch attention, so
-    # thresholding/CCL at stride 8 loses <8px of box-boundary detail while
-    # cutting the CCL + component-area cost 4x vs the reference's stride 1
-    cam_stride: int = 8
+    # CAMs are bilinear upsamplings of 16px-granular patch attention;
+    # thresholding/CCL at cam_stride=16 (= the ViT patch stride, so the
+    # CCL plane IS the attention capture grid) DOMINATES finer strides
+    # on candidate-box fidelity vs exact stride-1 semantics at both
+    # studied geometries (FIDELITY.md: 800x1344 p10/p50/p90
+    # 0.44/0.97/1.00 vs stride-8's 0.29/0.87/0.99; 512x512
+    # 0.75/0.94/1.00 vs 0.72/0.96/0.99) — upsampling past the capture
+    # grid only adds threshold aliasing at component boundaries — while
+    # running CCL/extraction on 4x fewer cells than stride 8. Backbones
+    # whose capture grid is NOT stride 16 (Swin captures at stride 32)
+    # should set this to their own capture stride or re-gate; see
+    # configs/attnshift_voc12aug_swin.py. 1 = exact reference semantics.
+    cam_stride: int = 16
     # Stage-B/C maps are likewise bilinear upsamples of patch-res data;
     # running them at stride 4 cuts their HBM traffic 16x (the dominant
     # seed-path cost) for <4px of sampled-point quantisation. 1 = exact

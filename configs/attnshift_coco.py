@@ -46,7 +46,10 @@ model = dict(
     max_gt=40,
     seed_thr=0.2,
     seed_multiple=0.5,
-    cam_stride=8,
+    # same ViT-S/16 capture geometry as the VOC flagship, so the
+    # FIDELITY.md stride gate applies: 16 (= the patch stride) dominates
+    # finer strides on candidate-box fidelity at both studied geometries
+    cam_stride=16,
     pos_mask_thr=0.35,
     neg_mask_thr=0.8,
     num_mask_point_gt=20,

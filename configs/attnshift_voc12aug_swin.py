@@ -21,6 +21,12 @@ model = dict(
     max_gt=20,
     seed_thr=0.2,
     seed_multiple=0.5,
+    # Swin captures attention at stride 32 (models/swin.py: global
+    # attnshift blocks on the merged stride-32 grid), so the FIDELITY.md
+    # ViT gate (cam_stride = the 16px capture stride) does not transfer:
+    # neither 8 nor 16 equals Swin's capture grid. 8 is kept as the
+    # conservative finer-detail setting pending a Swin-geometry gate;
+    # deliberately differs from the ViT default (VERDICT r4 #6).
     cam_stride=8,
     pos_mask_thr=0.35,
     neg_mask_thr=0.8,

@@ -176,6 +176,27 @@ def test_all_shipped_configs_load():
     assert ts.model.embed_dim == 384  # inherited through the leaf base
 
 
+def test_fidelity_gated_knobs_agree_with_detector_defaults():
+    """The flagship config and AttnShiftDetector defaults must agree on
+    every knob the FIDELITY.md stride gate covers (VERDICT r4 #6) — a
+    library user instantiating the detector bare gets the same gated
+    semantics the benched config ships. ViT-16-capture configs inherit
+    the gate; Swin (stride-32 capture) documents its divergence inline.
+    """
+    from attentionshift_tpu.config import Config
+    from attentionshift_tpu.models.detector import AttnShiftDetector
+
+    gated = ["cam_stride", "seed_map_stride"]
+    flagship = Config.fromfile(
+        os.path.join(REPO, "configs", "attnshift_voc12aug.py"))
+    for knob in gated:
+        default = getattr(AttnShiftDetector, knob)
+        assert flagship.model.get(knob, default) == default, knob
+        # COCO shares the ViT-S/16 capture geometry -> same gate applies
+        coco = Config.fromfile(os.path.join(REPO, "configs", "attnshift_coco.py"))
+        assert coco.model.get(knob, default) == default, knob
+
+
 @pytest.fixture(scope="module")
 def coco_tree(tmp_path_factory):
     """Synthetic COCO tree with polygon segmentations + points."""
