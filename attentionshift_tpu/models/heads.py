@@ -102,9 +102,16 @@ class MILHead(nn.Module):
         x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(x))
         cls_pred = nn.Dense(self.num_classes, dtype=self.dtype, name="classification_branch")(x)
         prop_pred = nn.Dense(self.num_classes, dtype=self.dtype, name="proposal_branch")(x)
-        cls_pred = jax.nn.softmax(cls_pred.reshape(g, l, self.num_classes), axis=-1)
-        prop_pred = jax.nn.softmax(prop_pred.reshape(g, l, self.num_classes), axis=-2)
-        bag = cls_pred * prop_pred  # (G, L, C)
+        # probability-space log below: the whole bag chain runs in f32
+        # (apex-O1 keeps softmax/log fp32 too). In bf16, clip's upper
+        # bound 1 - 1e-6 rounds to exactly 1.0, so a saturated bag_sum
+        # reaches log(0) and the one-hot column computes 0 * -inf = NaN
+        # — which froze ALL training via apply_if_finite (round-5 fix).
+        cls_pred = jax.nn.softmax(
+            cls_pred.reshape(g, l, self.num_classes).astype(jnp.float32), axis=-1)
+        prop_pred = jax.nn.softmax(
+            prop_pred.reshape(g, l, self.num_classes).astype(jnp.float32), axis=-2)
+        bag = cls_pred * prop_pred  # (G, L, C) f32
 
         bag_cls = jnp.take_along_axis(
             bag, gt_labels[:, None, None].astype(jnp.int32), axis=-1

@@ -49,6 +49,31 @@ def test_mil_head_selects_discriminative_layer():
     assert np.isfinite(float(loss))
 
 
+def test_mil_head_saturated_bag_stays_finite_bf16():
+    """Regression (round 5): a confident bf16 MIL head saturates
+    ``bag_sum`` to exactly 1.0 (the 1 - 1e-6 clip bound rounds to 1.0 in
+    bf16), and the one-hot column then computed 0 * log(0) = NaN —
+    silently freezing ALL training through ``optax.apply_if_finite``.
+    The bag chain must run in f32: loss AND grads finite at saturation.
+    """
+    head = MILHead(num_classes=4, num_layers_query=3, in_channels=16,
+                   embed_dim=16, hidden_dim=32, roi_size=2,
+                   dtype=jnp.bfloat16)
+    G, L, S, C = 2, 3, 2, 16
+    feats = jax.random.normal(KEY, (G, L, S, S, C)) * 1e4  # saturating
+    labels = jnp.asarray([1, 3], jnp.int32)
+    valid = jnp.ones((G,), bool)
+    params = head.init(KEY, feats, labels, valid)
+
+    def loss_fn(p):
+        return head.apply(p, feats, labels, valid)[1]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss)), float(loss)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in leaves)
+
+
 @pytest.mark.slow
 def test_box_head_shapes():
     head = BoxHeadRec(num_classes=20)

@@ -132,7 +132,7 @@ def main():
             mask_iou = float(np.mean(ious))
         print(json.dumps(dict(
             img=n, true_labels=[int(x) for x in lbl[:2]],
-            rpn_recall=[round(x, 3) for x in rec],
+            rpn_recall=[round(float(x), 3) for x in rec],
             # columns: P(true class), P(best fg class), argmax, P(bg) on the TRUE boxes
             truebox_p_true=[round(float(sc[i, lbl[i]]), 4) for i in range(2)],
             truebox_p_maxfg=[round(float(sc[i, :20].max()), 4) for i in range(2)],
@@ -140,7 +140,7 @@ def main():
             truebox_p_bg=[round(float(sc[i, 20]), 4) for i in range(2)],
             n_det=int(dval.sum()),
             det_scores_top5=[round(float(s), 4) for s in np.sort(dsc[dval])[::-1][:5]],
-            det_best_box_iou=[round(x, 3) for x in diou],
+            det_best_box_iou=[round(float(x), 3) for x in diou],
             det_mask_iou=round(mask_iou, 4),
         )), flush=True)
 
