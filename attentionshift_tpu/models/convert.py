@@ -23,19 +23,27 @@ __all__ = [
 ]
 
 
-def resolve_checkpoint_path(path: str, cache_dir: str | None = None) -> str:
+def resolve_checkpoint_path(
+    path: str, cache_dir: str | None = None, sha256: str | None = None
+) -> str:
     """Resolve a checkpoint spec to a local file path.
 
     The reference's ``_load_checkpoint`` dispatches on URL scheme
     (`mmcv_custom/checkpoint.py:286-358`): plain paths load directly,
-    ``http(s)://`` URLs download into a torch-hub-style cache keyed by
-    filename, and pavi/s3 go through proprietary clients. This mirrors
-    the url semantics: ``http(s)://`` and ``file://`` URLs are fetched
-    once into ``cache_dir`` (default ``~/.cache/attentionshift_tpu/
-    checkpoints``, override with $ATTNSHIFT_CKPT_CACHE) and reused on
-    later calls; everything else must be a local path. pavi:// and
-    s3:// raise with the reason (no proprietary clients here).
+    ``http(s)://`` URLs download into a torch-hub-style cache, and
+    pavi/s3 go through proprietary clients. This mirrors the url
+    semantics: ``http(s)://`` and ``file://`` URLs are fetched once into
+    ``cache_dir`` (default ``~/.cache/attentionshift_tpu/checkpoints``,
+    override with $ATTNSHIFT_CKPT_CACHE) and reused on later calls;
+    everything else must be a local path. pavi:// and s3:// raise with
+    the reason (no proprietary clients here).
+
+    Cache entries are keyed by ``<sha256(full URL)[:16]>-<basename>``
+    (not basename alone), so two URLs sharing a filename never collide
+    (ADVICE r4). ``sha256``, when given, is verified against the cached
+    file's digest; a mismatch deletes the entry and raises.
     """
+    import hashlib
     import urllib.parse
     import urllib.request
 
@@ -59,21 +67,48 @@ def resolve_checkpoint_path(path: str, cache_dir: str | None = None) -> str:
     )
     os.makedirs(cache_dir, exist_ok=True)
     fname = os.path.basename(urllib.parse.urlparse(path).path) or "checkpoint.pth"
-    dst = os.path.join(cache_dir, fname)
+    url_key = hashlib.sha256(path.encode()).hexdigest()[:16]
+    dst = os.path.join(cache_dir, f"{url_key}-{fname}")
     if not os.path.exists(dst):
         tmp = dst + ".part"
         urllib.request.urlretrieve(path, tmp)
         os.replace(tmp, dst)
+    if sha256 is not None:
+        h = hashlib.sha256()
+        with open(dst, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != sha256:
+            os.remove(dst)
+            raise ValueError(
+                f"checkpoint {path}: sha256 mismatch "
+                f"(got {h.hexdigest()}, want {sha256}); cached copy removed"
+            )
     return dst
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, sha256: str | None = None) -> Dict[str, np.ndarray]:
     """Load a torch .pth checkpoint (local path or url) into
-    {key: np.ndarray} on host."""
+    {key: np.ndarray} on host.
+
+    ``weights_only=True`` first (no unpickle code execution — most MAE /
+    torchvision checkpoints are plain tensor dicts); legacy pickles that
+    need full unpickling fall back with a warning.
+    """
     import torch
 
-    path = resolve_checkpoint_path(path)
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    path = resolve_checkpoint_path(path, sha256=sha256)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # legacy pickle (e.g. argparse.Namespace in meta)
+        import warnings
+
+        warnings.warn(
+            f"{path}: not loadable with weights_only=True; falling back to "
+            "full unpickling — only load checkpoints you trust",
+            stacklevel=2,
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("state_dict", "model"):
             if key in ckpt:

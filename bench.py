@@ -82,7 +82,8 @@ def _emit(error: str | None = None) -> None:
             rec["mfu"] = round(
                 _STATE["flops_per_img"] * _STATE["value"] / 197e12, 4
             )
-        for key in ("config", "strides", "variants"):
+        for key in ("value_wallclock", "rtt_correction_s_per_sync",
+                    "config", "strides", "variants"):
             if _STATE.get(key) is not None:
                 rec[key] = _STATE[key]
         if _STATE["partial"]:
@@ -342,6 +343,13 @@ def main():
         dt = max(time.perf_counter() - t0 - nsync * rtt, 1e-6)
 
     _STATE["value"] = steps * b / dt
+    # auditability (ADVICE r4): emit the raw wall-clock rate AND the RTT
+    # correction magnitude next to the corrected headline, so cross-round
+    # comparisons (rounds 1-3 were raw wall-clock) and the size of the
+    # correction stay checkable from the JSON alone
+    raw_dt = dt + nsync * rtt
+    _STATE["value_wallclock"] = round(steps * b / raw_dt, 3)
+    _STATE["rtt_correction_s_per_sync"] = round(rtt, 4)
     _STATE["config"] = os.path.relpath(config_path, here)
     _STATE["strides"] = [int(model.cam_stride), int(model.seed_map_stride)]
 

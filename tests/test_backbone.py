@@ -255,5 +255,22 @@ def test_checkpoint_url_loading(tmp_path):
         import pytest
         with pytest.raises(NotImplementedError):
             resolve_checkpoint_path("s3://bucket/weights.pth")
+
+        # cache keys include the URL hash: same basename, different URL
+        # -> different entry (ADVICE r4: basename-only keys collide)
+        src2 = tmp_path / "b" / "weights.pth"
+        src2.parent.mkdir()
+        torch.save({"cls_token": torch.ones(1, 1, 8)}, src2)
+        local2 = resolve_checkpoint_path(f"file://{src2}")
+        assert local2 != local
+        assert load_torch_state_dict(f"file://{src2}")["cls_token"].max() == 1
+
+        # checksum verification: wrong digest removes the entry + raises
+        import hashlib
+        good = hashlib.sha256(open(local2, "rb").read()).hexdigest()
+        assert resolve_checkpoint_path(f"file://{src2}", sha256=good) == local2
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            resolve_checkpoint_path(f"file://{src2}", sha256="0" * 64)
+        assert not os.path.exists(local2)
     finally:
         del os.environ["ATTNSHIFT_CKPT_CACHE"]

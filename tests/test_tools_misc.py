@@ -60,7 +60,7 @@ def test_pascal_voc_converter(voc_seg_tree, tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/dataset_converters/pascal_voc.py"),
          "--voc-root", str(voc_seg_tree), "--split", "train", "--out", str(out)],
-        capture_output=True, text=True, env=ENV, timeout=600,
+        capture_output=True, text=True, env=ENV, timeout=900,
     )
     assert r.returncode == 0, r.stderr
     d = json.loads(out.read_text())
@@ -116,7 +116,7 @@ def test_eval_metric_offline(preds_dump):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/analysis/eval_metric.py"),
          str(preds_dump), "--iou", "0.5", "0.75"],
-        capture_output=True, text=True, env=ENV, timeout=600,
+        capture_output=True, text=True, env=ENV, timeout=900,
     )
     assert r.returncode == 0, r.stderr
     res = json.loads(r.stdout)
@@ -144,7 +144,7 @@ def test_analyze_results(preds_dump, voc_seg_tree, tmp_path):
         [sys.executable, os.path.join(REPO, "tools/analysis/analyze_results.py"),
          str(dump2), "--dataset-split", str(split),
          "--voc-root", str(voc_seg_tree), "--out", str(out), "-k", "1"],
-        capture_output=True, text=True, env=ENV, timeout=600,
+        capture_output=True, text=True, env=ENV, timeout=900,
     )
     assert r.returncode == 0, r.stderr
     pngs = sorted(os.listdir(out))
@@ -162,7 +162,7 @@ def test_print_config(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/misc/print_config.py"),
          str(leaf), "--cfg-options", "model.depth=8"],
-        capture_output=True, text=True, env=ENV, timeout=600,
+        capture_output=True, text=True, env=ENV, timeout=900,
     )
     assert r.returncode == 0, r.stderr
     cfg = json.loads(r.stdout)
@@ -201,7 +201,7 @@ def test_error_analysis(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/analysis/error_analysis.py"),
          str(dump)],
-        capture_output=True, text=True, env=ENV, timeout=600,
+        capture_output=True, text=True, env=ENV, timeout=900,
     )
     assert r.returncode == 0, r.stderr
     rep = json.loads(r.stdout)
@@ -322,7 +322,7 @@ def test_sweep_dry_run():
          "--grid", "model.obj_tau=0.85,0.9",
          "--grid", "model.num_semantic_points=3,5",
          "--dry-run", "--", "--max-steps", "5"],
-        capture_output=True, text=True, env=ENV, timeout=600, cwd=REPO,
+        capture_output=True, text=True, env=ENV, timeout=900, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.splitlines() if l.startswith("[sweep]")]
@@ -378,7 +378,7 @@ def test_cityscapes_converter(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/dataset_converters/cityscapes.py"),
          str(root), "-o", str(tmp_path / "out")],
-        capture_output=True, text=True, env=ENV, timeout=600,
+        capture_output=True, text=True, env=ENV, timeout=900,
     )
     # train/test splits are missing in the synthetic tree: expect failure
     # AFTER val converted

@@ -58,7 +58,9 @@ SUFFIX = "leftImg8bit.png"
 
 def collect_files(img_dir: str, gt_dir: str):
     files = []
-    for img_file in sorted(glob.glob(os.path.join(img_dir, "**", "*.png"))):
+    for img_file in sorted(
+        glob.glob(os.path.join(img_dir, "**", "*.png"), recursive=True)
+    ):
         if not img_file.endswith(SUFFIX):
             raise ValueError(f"unexpected image name: {img_file}")
         stem = img_file[len(img_dir):-len(SUFFIX)]
