@@ -234,6 +234,20 @@ def test_corruptions():
     with pytest.raises(ValueError):
         corrupt(img, "gaussian_noise", 6)
 
+    # the full 15-corruption benchmark protocol is covered asset-free
+    # (reference test_robustness.py:225-231), frost included (r5)
+    benchmark15 = {
+        "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+        "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
+        "brightness", "contrast", "elastic_transform", "pixelate",
+        "jpeg_compression",
+    }
+    assert benchmark15 <= set(CORRUPTIONS)
+    # frost severity ramp: corruption magnitude grows 1 -> 5
+    f1 = np.abs(corrupt(img, "frost", 1).astype(int) - img).mean()
+    f5 = np.abs(corrupt(img, "frost", 5).astype(int) - img).mean()
+    assert f5 > f1
+
     class DS:
         num_classes = 20
 
