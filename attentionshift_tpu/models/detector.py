@@ -733,6 +733,18 @@ class AttnShiftDetector(nn.Module):
         """Single-scale inference. ``img_wh``: (B, 2) true (w, h)."""
         b, h, w, _ = img.shape
         out, roi_map, _ = self._extract(img)
+        return self.test_from_feats(out, roi_map, img_wh, (h, w))
+
+    def test_from_feats(self, out, roi_map, img_wh, img_hw):
+        """`simple_test` from precomputed backbone outputs.
+
+        Split out so CAM tools can differentiate the detection score
+        w.r.t. the backbone activations (``utils/det_cam.py``, the
+        `DetCAMVisualizer` rebuild): ``jax.vjp`` over THIS function with
+        ``roi_map`` as the input gives grad-CAM's per-channel weights.
+        """
+        h, w = img_hw
+        b = roi_map.shape[0]
         fpn_feats = self.neck(out["feature"])
         cls_scores, bbox_preds = self.rpn_head(fpn_feats)
         featmap_sizes = [f.shape[1:3] for f in fpn_feats]

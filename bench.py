@@ -83,7 +83,7 @@ def _emit(error: str | None = None) -> None:
                 _STATE["flops_per_img"] * _STATE["value"] / 197e12, 4
             )
         for key in ("value_wallclock", "rtt_correction_s_per_sync",
-                    "config", "strides", "variants"):
+                    "config", "strides", "variants", "regressions"):
             if _STATE.get(key) is not None:
                 rec[key] = _STATE[key]
         if _STATE["partial"]:
@@ -165,13 +165,17 @@ def main():
                          " 6 heads); vitb = the paper's AttnShift-B COCO row"
                          " (embed 768, 12 heads, configs/attnshift_coco_vitb"
                          ".py) — VERDICT round-2 item 5")
-    ap.add_argument("--variants", default="vitb,exact",
+    ap.add_argument("--variants", default="train_step,infer,vitb,exact,aug_test",
                     help="comma list of secondary measurements recorded in "
                          "the JSON `variants` field after the headline: "
-                         "`vitb` (AttnShift-B config) and/or `exact` "
-                         "(cam/map stride 1 = exact reference semantics); "
-                         "empty string disables. Each runs only if enough "
-                         "of --budget-s remains.")
+                         "`train_step` (full fwd+bwd+layer-decay-AdamW step "
+                         "at the bench shape), `infer` (simple_test incl. "
+                         "NMS + mask head), `aug_test` (the 6-scale x flip "
+                         "reference eval protocol, s/img), `vitb` "
+                         "(AttnShift-B config) and/or `exact` (cam/map "
+                         "stride 1 = exact reference semantics); empty "
+                         "string disables. Each runs only if enough of "
+                         "--budget-s remains.")
     ap.add_argument("--remat", action="store_true",
                     help="activation checkpointing on the ViT blocks "
                          "(inference seed path rarely needs it; knob for "
@@ -360,14 +364,111 @@ def main():
     want = [v for v in args.variants.split(",") if v] if args.variants else []
     if args.model == "vitb" and "vitb" in want:
         want.remove("vitb")  # headline IS vitb
+    # the headline is complete here: a watchdog/SIGTERM during the
+    # variants phase must not mark the recorded headline partial
+    _STATE["partial"] = False
+
     variants = {}
+    # minimum remaining budget per variant (compile-cost dominated; the
+    # aug_test protocol jits 12 padded shapes x 3 stage functions)
+    need_s = {"train_step": 600, "aug_test": 900}
     for name in want:
         remaining = args.budget_s - (time.perf_counter() - t_start)
-        if remaining < 420:  # compile alone can eat minutes
+        if remaining < need_s.get(name, 420):  # compile alone can eat minutes
             variants[name] = "skipped:budget"
             continue
         _STATE["phase"] = f"variant:{name}"
         try:
+            if name == "train_step":
+                # the SHIPPED training surface (VERDICT r4 #2): full
+                # fwd + bwd + layer-decay AdamW at the bench shape,
+                # remat on (as the train config runs it)
+                from attentionshift_tpu.train import (
+                    TrainState, build_optimizer, make_train_step,
+                )
+
+                vmodel, vkw = _build_model(config_path, args, on_tpu,
+                                           use_remat=True)
+                tparams = jax.jit(
+                    lambda r: vmodel.init(
+                        {"params": r, "sampling": r, "dropout": r},
+                        img, pts, lbls, valid, img_wh,
+                    )
+                )(rng)
+                jax.block_until_ready(tparams)
+                tx = build_optimizer(
+                    tparams, base_lr=1e-4, steps_per_epoch=100,
+                    accumulate_steps=1, depth=int(vkw.get("depth", 12)),
+                )
+                tstate = TrainState.create(tparams, tx)
+                step_fn = make_train_step(vmodel, donate=False)
+                tbatch = dict(img=img, gt_points=pts, gt_labels=lbls,
+                              gt_valid=valid, img_wh=img_wh)
+                tstate, m = step_fn(tstate, tbatch, jax.random.PRNGKey(0))
+                sync(m)  # compile + warm
+                vsteps = 10
+                t0 = time.perf_counter()
+                for i in range(vsteps):
+                    tstate, m = step_fn(tstate, tbatch,
+                                        jax.random.PRNGKey(300 + i))
+                sync(m)
+                vdt = max(time.perf_counter() - t0 - rtt, 1e-6)
+                variants[name] = {
+                    "img_per_s": round(vsteps * b / vdt, 3),
+                    "ms_per_img": round(vdt / (vsteps * b) * 1e3, 2),
+                }
+                del tstate, tparams
+                continue
+            if name == "infer":
+                vmodel, _ = _build_model(config_path, args, on_tpu)
+                iparams = jax.jit(
+                    lambda r: vmodel.init(
+                        r, img, img_wh, method=type(vmodel).simple_test)
+                )(rng)
+                jax.block_until_ready(iparams)
+
+                @jax.jit
+                def itest(p, im, wh, _m=vmodel):
+                    return _m.apply(p, im, wh, method=type(_m).simple_test)
+
+                sync(itest(iparams, img, img_wh))
+                vsteps = 20
+                t0 = time.perf_counter()
+                for _ in range(vsteps):
+                    iout = itest(iparams, img, img_wh)
+                sync(iout)
+                vdt = max(time.perf_counter() - t0 - rtt, 1e-6)
+                variants[name] = {
+                    "img_per_s": round(vsteps * b / vdt, 3),
+                    "ms_per_img": round(vdt / (vsteps * b) * 1e3, 2),
+                }
+                del iparams
+                continue
+            if name == "aug_test":
+                # the reference's 6-scale x flip protocol, s/img
+                # (tools/test.py scale list; 12 forwards per image)
+                from attentionshift_tpu.eval.aug_test import AugTester
+
+                vmodel, _ = _build_model(config_path, args, on_tpu)
+                aparams = jax.jit(
+                    lambda r: vmodel.init(
+                        r, img, img_wh, method=type(vmodel).simple_test)
+                )(rng)
+                jax.block_until_ready(aparams)
+                scales = [(800, 1333), (600, 1333), (400, 1333),
+                          (800, 1000), (600, 1000), (400, 1000)]
+                tester = AugTester(vmodel, aparams, scales=scales, flip=True)
+                aimg = (np.random.RandomState(0).rand(500, 375, 3)
+                        * 255).astype(np.uint8)
+                tester(aimg)  # compile all 12 aug shapes
+                t0 = time.perf_counter()
+                tester(aimg)
+                tester(aimg)
+                variants[name] = {
+                    "s_per_img": round((time.perf_counter() - t0) / 2, 3)
+                }
+                del aparams
+                continue
             if name == "exact":
                 vmodel, _ = _build_model(config_path, args, on_tpu,
                                          cam_stride=1, seed_map_stride=1)
@@ -408,6 +509,37 @@ def main():
             variants[name] = f"error:{type(e).__name__}"
     if variants:
         _STATE["variants"] = variants
+
+    # ---- regression bounds (VERDICT r4 #2): committed floor/ceiling
+    # numbers for every benched surface; violations are recorded in the
+    # JSON so the driver-run bench IS the hardware-perf CI gate.
+    bounds_path = os.path.join(here, "bench_bounds.json")
+    if os.path.exists(bounds_path) and args.model == "vits":
+        with open(bounds_path) as f:
+            bounds = json.load(f)
+
+        def lookup(path):
+            node = {"headline": _STATE["value"], "mfu": None, **(
+                {"variants": variants} if variants else {})}
+            if path == "mfu" and _STATE.get("flops_per_img") and _STATE["value"]:
+                return _STATE["flops_per_img"] * _STATE["value"] / 197e12
+            for part in path.split("."):
+                if not isinstance(node, dict) or part not in node:
+                    return None
+                node = node[part]
+            return node if isinstance(node, (int, float)) else None
+
+        regressions = []
+        for path, spec in bounds.items():
+            got = lookup(path)
+            if got is None:
+                continue
+            if "min" in spec and got < spec["min"]:
+                regressions.append(f"{path}: {round(got, 3)} < min {spec['min']}")
+            if "max" in spec and got > spec["max"]:
+                regressions.append(f"{path}: {round(got, 3)} > max {spec['max']}")
+        if regressions:
+            _STATE["regressions"] = regressions
 
     _STATE["partial"] = False
     _STATE["phase"] = "done"

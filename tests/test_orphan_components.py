@@ -304,3 +304,94 @@ def test_water_fill_matches_reference_semantics():
     got = np.asarray(prots)[np.asarray(valid)]
     assert got.shape == np.stack(want).shape
     np.testing.assert_allclose(got, np.stack(want), rtol=1e-6)
+
+
+# ------------------------------------------------------------- det CAM
+def test_det_box_score_target_semantics():
+    """DetBoxScoreTarget parity (`det_cam_visualizer.py:402-447`): a
+    matching detection contributes IoU + score (+ mask dice); a
+    label-mismatched or low-IoU one contributes 0."""
+    from attentionshift_tpu.utils.det_cam import det_box_score
+
+    det_boxes = jnp.asarray([[10.0, 10, 50, 50], [60, 60, 90, 90]])
+    det_scores = jnp.asarray([0.9, 0.8])
+    det_labels = jnp.asarray([2, 5], jnp.int32)
+    det_valid = jnp.asarray([True, True])
+
+    # exact-match focal box, same label -> IoU 1.0 + 0.9
+    s = det_box_score(det_boxes, det_scores, det_labels, det_valid,
+                      jnp.asarray([[10.0, 10, 50, 50]]),
+                      jnp.asarray([2], jnp.int32))
+    np.testing.assert_allclose(float(s), 1.9, rtol=1e-5)
+    # label mismatch -> 0
+    s = det_box_score(det_boxes, det_scores, det_labels, det_valid,
+                      jnp.asarray([[10.0, 10, 50, 50]]),
+                      jnp.asarray([3], jnp.int32))
+    assert float(s) == 0.0
+    # no overlap -> 0
+    s = det_box_score(det_boxes, det_scores, det_labels, det_valid,
+                      jnp.asarray([[200.0, 200, 250, 250]]),
+                      jnp.asarray([2], jnp.int32))
+    assert float(s) == 0.0
+    # mask term: identical masks add inter/(a+b) = 0.5
+    m = jnp.zeros((2, 8, 8)).at[:, 2:6, 2:6].set(1.0)
+    s = det_box_score(det_boxes, det_scores, det_labels, det_valid,
+                      jnp.asarray([[10.0, 10, 50, 50]]),
+                      jnp.asarray([2], jnp.int32),
+                      det_masks=m, focal_masks=m[:1])
+    np.testing.assert_allclose(float(s), 1.9 + 0.5, rtol=1e-4)
+
+
+def test_eigen_cam_and_featmap_am():
+    from attentionshift_tpu.utils.det_cam import eigen_cam, featmap_am
+
+    rng = np.random.RandomState(0)
+    pattern = np.abs(rng.rand(6, 7)).astype(np.float32)
+    v = rng.rand(16).astype(np.float32)
+    acts = v[:, None, None] * pattern[None]  # rank-1
+    cam = eigen_cam(acts)
+    assert cam.shape == (6, 7) and cam.max() <= 1.0 and cam.min() >= 0.0
+    # rank-1: the cam is the relu'd centred pattern, so it must
+    # correlate strongly with the pattern's above-mean structure
+    want = np.maximum(pattern - pattern.mean(), 0.0)
+    c = np.corrcoef(cam.ravel(), want.ravel())[0, 1]
+    assert c > 0.95, c
+
+    am = featmap_am(acts)
+    assert am.shape == (6, 7) and 0.0 <= am.min() and am.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_grad_cam_end_to_end_tiny_detector():
+    """grad-CAM through test_from_feats: finite, normalised, nonzero
+    when the focal box is the detector's own top detection."""
+    import jax
+
+    from attentionshift_tpu.models.detector import AttnShiftDetector
+    from attentionshift_tpu.utils.det_cam import cam_on_image, grad_cam
+
+    model = AttnShiftDetector(
+        num_classes=20, embed_dim=96, depth=4, num_heads=2, img_size=64,
+        out_indices=(0, 1, 2, 3), point_tokens=8, cam_layer=2, max_gt=4,
+        use_remat=False, num_proposals=32, rpn_nms_pre=32, rcnn_samples=16,
+        mask_sample_cap=4, test_max_per_img=8, test_score_thr=0.0,
+    )
+    H = W = 96
+    img = jnp.asarray(np.random.RandomState(0).randn(1, H, W, 3), jnp.float32)
+    wh = jnp.asarray([[float(W), float(H)]])
+    params = model.init(
+        jax.random.PRNGKey(0), img, wh, method=type(model).simple_test)
+    out = model.apply(params, img, wh, method=type(model).simple_test)
+    k = int(np.asarray(out.dets.valid[0]).argmax())
+    focal_boxes = jnp.asarray(out.dets.boxes[0][k:k + 1])
+    focal_labels = jnp.asarray(out.dets.labels[0][k:k + 1])
+
+    cam = grad_cam(model, params, img, wh, focal_boxes, focal_labels,
+                   match_iou_thr=0.1)
+    hp = wp = H // 16
+    assert cam.shape == (hp, wp)
+    assert np.isfinite(cam).all() and 0.0 <= cam.min() and cam.max() <= 1.0
+
+    over = cam_on_image(
+        (np.random.RandomState(1).rand(H, W, 3) * 255).astype(np.uint8), cam)
+    assert over.shape == (H, W, 3) and over.dtype == np.uint8
