@@ -34,15 +34,21 @@ class FPN(nn.Module):
         """inputs: tuple of (B, H_i, W_i, C) maps, fine -> coarse, each
         exactly 2x the next one's resolution. Returns ``num_outs`` maps."""
         n_in = len(inputs)
+        # mmdet FPN init parity: Xavier-uniform convs (`mmdet/models/
+        # necks/fpn.py` init_cfg Xavier). The flax default lecun_normal
+        # is close in scale but Xavier matches the reference exactly.
+        init = nn.initializers.xavier_uniform()
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"lateral_{i}")(x)
+            nn.Conv(self.out_channels, (1, 1), kernel_init=init,
+                    dtype=self.dtype, name=f"lateral_{i}")(x)
             for i, x in enumerate(inputs)
         ]
         for i in range(n_in - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest2x(laterals[i])
         outs = [
             nn.Conv(
-                self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=f"fpn_conv_{i}"
+                self.out_channels, (3, 3), padding=1, kernel_init=init,
+                dtype=self.dtype, name=f"fpn_conv_{i}"
             )(laterals[i])
             for i in range(n_in)
         ]

@@ -33,9 +33,19 @@ class RPNHead(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray]):
         """feats: per-level (B, H, W, C). Returns per-level
         (cls (B, H, W, A), reg (B, H, W, A*4)) lists."""
-        conv = nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=self.dtype, name="rpn_conv")
-        cls_out = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="rpn_cls")
-        reg_out = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="rpn_reg")
+        # mmdet RPNHead init parity: ALL rpn convs Normal(std=0.01)
+        # (`rpn_head.py` init_cfg). Round-5 finding: with the flax
+        # default lecun_normal (~6-10x larger), the mostly-unsupervised
+        # anchor positions emit deltas of O(100) once the FPN activations
+        # grow, decoding EVERY proposal off-image (zero valid proposals,
+        # detector mAP pinned at 0).
+        init = nn.initializers.normal(stddev=0.01)
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=1, kernel_init=init,
+                       dtype=self.dtype, name="rpn_conv")
+        cls_out = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
+                          dtype=self.dtype, name="rpn_cls")
+        reg_out = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,
+                          dtype=self.dtype, name="rpn_reg")
         cls_scores, bbox_preds = [], []
         for x in feats:
             y = nn.relu(conv(x))

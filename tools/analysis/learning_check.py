@@ -42,8 +42,14 @@ from attentionshift_tpu.train import TrainState, build_optimizer, make_train_ste
 B, H, W, G = 1, 512, 512, 8
 
 
-def make_sample(rng, i):
-    """Blob image + point supervision + TRUE masks/boxes for scoring."""
+def make_sample(rng, i, corpus: str = "discs"):
+    """Blob image + point supervision + TRUE masks/boxes for scoring.
+
+    ``corpus``: ``discs`` (uniform circles, the historical fixture
+    recipe) or ``lobes`` (two overlapping differently-toned lobes per
+    instance — gives the mean-shift engine real part structure, so
+    trained features can pass the 0.85 fg-occupancy prototype filter;
+    VERDICT r4 #5)."""
     img = rng.randn(H, W, 3).astype(np.float32) * 0.1
     yy, xx = np.mgrid[:H, :W]
     pts, lbls, masks, boxes = [], [], [], []
@@ -54,14 +60,22 @@ def make_sample(rng, i):
         color = np.zeros(3)
         color[(i + j) % 3] = 2.5
         img[blob] += color
+        if corpus == "lobes":
+            dx = int(r * 0.8)
+            lobe2 = ((xx - cx - dx) ** 2 + (yy - cy) ** 2) < (r * 0.7) ** 2
+            img[lobe2] += np.roll(color, 1) * 0.8  # distinct part tone
+            blob = blob | lobe2
         pts.append([cx, cy])
         lbls.append((i + j) % 3)
         masks.append(blob)
-        boxes.append([cx - r, cy - r, cx + r, cy + r])
+        bx = np.where(blob.any(0))[0]
+        by = np.where(blob.any(1))[0]
+        boxes.append([bx.min(), by.min(), bx.max() + 1, by.max() + 1])
     g_pts = np.zeros((G, 2), np.float32); g_pts[:2] = pts
     g_lbl = np.zeros((G,), np.int32); g_lbl[:2] = lbls
     g_val = np.zeros((G,), bool); g_val[:2] = True
-    return img, g_pts, g_lbl, g_val, np.stack(masks), np.asarray(boxes, np.float32)
+    return (img, g_pts, g_lbl, g_val, np.stack(masks),
+            np.asarray(boxes, np.float32))
 
 
 def box_iou(a, b):
@@ -82,6 +96,18 @@ def main():
     ap.add_argument("--f32", action="store_true", help="float32 model")
     ap.add_argument("--train-images", type=int, default=8,
                     help="size of the synthetic training corpus")
+    ap.add_argument("--corpus", default="discs", choices=["discs", "lobes"],
+                    help="instance shape: uniform discs (historical) or "
+                         "two-lobed part-structured instances")
+    ap.add_argument("--det-eval", action="store_true",
+                    help="at each milestone ALSO run the real detection "
+                         "chain (simple_test -> mask paste -> "
+                         "eval_map_segm) on the held-out corpus and "
+                         "report det mask mAP@0.25/0.5/0.75 (VERDICT r4 "
+                         "#1: the flagship's own detector must score)")
+    ap.add_argument("--curve-out", default=None, metavar="JSONL",
+                    help="append one JSON line per milestone to this file "
+                         "(the committed learning-curve artifact)")
     ap.add_argument("--save-ckpt", default=None, metavar="DIR",
                     help="save the trained params (orbax, params-only) — "
                          "the fixture for `bench.py --ckpt` (throughput on "
@@ -112,8 +138,9 @@ def main():
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
-    train_data = [make_sample(rng, i) for i in range(args.train_images)]
-    held = [make_sample(np.random.RandomState(100 + i), i)
+    train_data = [make_sample(rng, i, args.corpus)
+                  for i in range(args.train_images)]
+    held = [make_sample(np.random.RandomState(100 + i), i, args.corpus)
             for i in range(args.eval_images)]
 
     key = jax.random.PRNGKey(0)
@@ -159,16 +186,54 @@ def main():
                 mious.append(float(inter / max(union, 1)))
         return float(np.mean(bious)), float(np.mean(mious))
 
+    flag_test = jax.jit(lambda p, im, w: model.apply(
+        p, im, w, method=type(model).simple_test))
+
+    def det_map(params):
+        """The REAL eval chain: simple_test -> paste -> eval_map_segm."""
+        from attentionshift_tpu.eval.masks import paste_masks_np
+        from attentionshift_tpu.eval.mean_ap_segm import eval_map_segm
+
+        f32 = cast_f32(params)
+        pm, plb, psc, gm, glb = [], [], [], [], []
+        for img, _, _, _, tmasks, _ in held:
+            o = flag_test(f32, jnp.asarray(img)[None], wh)
+            v = np.asarray(o.dets.valid[0])
+            boxes = np.asarray(o.dets.boxes[0], np.float32)[v]
+            probs = np.asarray(o.mask_probs[0], np.float32)[v]
+            masks = (paste_masks_np(probs, boxes, H, W) > 0.5
+                     if v.any() else np.zeros((0, H, W), bool))
+            pm.append(masks)
+            plb.append(np.asarray(o.dets.labels[0], np.int32)[v])
+            psc.append(np.asarray(o.dets.scores[0], np.float32)[v])
+            gm.append(tmasks.astype(bool))
+        # gt labels: the first two (valid) slots of each sample
+        glb = [np.asarray(s[2][:2], np.int32) for s in held]
+        res = {}
+        for thr, name in ((0.25, "mAP25"), (0.5, "mAP50"), (0.75, "mAP75")):
+            mAP, _, _ = eval_map_segm(
+                pm, plb, psc, gm, glb, num_classes=model.num_classes,
+                iou_thresh=thr)
+            res[name] = round(float(mAP), 4)
+        res["n_det"] = int(sum(len(x) for x in plb))
+        return res
+
     table = []
     t0 = time.time()
     last_loss = float("nan")
     for it in range(args.steps + 1):
         if it in milestones:
             bi, mi = score(state.params)
-            table.append(dict(step=it, loss=round(last_loss, 2),
-                              pseudo_box_iou=round(bi, 4),
-                              pseudo_mask_iou=round(mi, 4)))
+            row = dict(step=it, loss=round(last_loss, 2),
+                       pseudo_box_iou=round(bi, 4),
+                       pseudo_mask_iou=round(mi, 4))
+            if args.det_eval:
+                row.update(det_map(state.params))
+            table.append(row)
             print(json.dumps(table[-1]), flush=True)
+            if args.curve_out:
+                with open(args.curve_out, "a") as f:
+                    f.write(json.dumps(table[-1]) + "\n")
         if it == args.steps:
             break
         img, pts, lbl, val, _, _ = train_data[it % len(train_data)]
