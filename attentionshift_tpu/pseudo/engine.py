@@ -193,11 +193,21 @@ def masks_and_centers(
 
     # reference semantics (`update_coords_with_semantic_centers`): keep
     # only the sampled NEGATIVES; semantic centers become the positives.
+    # FALLBACK (`stdroi:125-129`, round-5 fix): when the image has NO
+    # semantic centers at all (the 0.85 occupancy filter can reject
+    # every prototype — routine early in training), the reference keeps
+    # the ORIGINAL sampled positives; without this branch the mask head
+    # receives zero positive supervision and trains to all-background.
     max_parts = centers.coords.shape[1]
     np_total = num_mask_point_gt + max_parts
     neg_keep = (~pts_lbl) & (pts_xy[..., 0] >= 0)
-    samp_lbl = jnp.where(neg_keep, 0, 2).astype(jnp.int32)  # dropped pos -> ignore
-    samp_xy = jnp.where(neg_keep[..., None], pts_xy, -1.0)
+    img_has_centers = centers.part_valid.any()
+    pos_keep = pts_lbl & (pts_xy[..., 0] >= 0) & jnp.logical_not(img_has_centers)
+    keep = neg_keep | pos_keep
+    samp_lbl = jnp.where(
+        keep, pts_lbl.astype(jnp.int32), 2
+    ).astype(jnp.int32)  # dropped pos -> ignore
+    samp_xy = jnp.where(keep[..., None], pts_xy, -1.0)
     ctr_lbl = jnp.where(centers.part_valid, 1, 2).astype(jnp.int32)
     ctr_xy = jnp.where(centers.part_valid[..., None], centers.coords, -1.0)
     point_coords = jnp.concatenate([samp_xy, ctr_xy], axis=1)  # (G, NP, 2)

@@ -587,3 +587,70 @@ def test_meanshift_kernel_matches_jnp():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_sim), np.asarray(want_sim),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mask_points_positive_fallback_without_centers(monkeypatch):
+    """Reference fallback (`update_coords_with_semantic_centers`,
+    `stdroi:125-129`, round-5 fix): an image with NO semantic centers
+    keeps its ORIGINAL sampled positive points — otherwise the mask head
+    receives zero positive supervision whenever the 0.85 occupancy
+    filter rejects every prototype (routine early in training; the
+    round-4 toy runs trained the mask head to all-background this way).
+    """
+    import attentionshift_tpu.pseudo.engine as eng
+
+    G, D, Hp, Wp = 2, 8, 12, 12
+    H = W = Hp * 16
+    # coherent fg features so Stage-B maps are clean and point sampling
+    # finds an eroded positive interior
+    feat = np.full((D, Hp, Wp), 0.1, np.float32)
+    feat[3] = 3.0
+    regions = [(slice(1, 6), slice(1, 6)), (slice(6, 11), slice(6, 11))]
+    for g, (rs, cs) in enumerate(regions):
+        feat[3, rs, cs] = 0.0
+        feat[g, rs, cs] = 2.0
+    yy, xx = np.mgrid[0:Hp, 0:Wp]
+    cams_patch = np.stack([
+        np.exp(-((yy - 3) ** 2 + (xx - 3) ** 2) / 8.0),
+        np.exp(-((yy - 8) ** 2 + (xx - 8) ** 2) / 8.0),
+    ]).astype(np.float32)
+    from attentionshift_tpu.ops.image import resize
+
+    # the engine contract: cams arrive at the map_stride resolution
+    cams = resize(jnp.asarray(cams_patch), (H, W))
+    boxes = jnp.asarray([[16.0, 16, 96, 96], [96.0, 96, 176, 176]])
+    kw = dict(
+        gt_points=jnp.asarray([[56.0, 56], [136.0, 136]]),
+        gt_labels=jnp.asarray([0, 1], jnp.int32),
+        valid=jnp.ones((2,), bool), map_stride=1, img_hw=(H, W),
+        refine_times=1, mean_shift_times=2, num_semantic_points=3,
+    )
+
+    run = lambda: eng.masks_and_centers(
+        jax.random.PRNGKey(0), jnp.asarray(cams), jnp.asarray(feat),
+        boxes, **kw)
+
+    # ---- force the no-centers case (occupancy filter rejected all)
+    orig = eng.semantic_centers
+
+    def no_centers(*a, **k):
+        c = orig(*a, **k)
+        return c._replace(part_valid=jnp.zeros_like(c.part_valid))
+
+    monkeypatch.setattr(eng, "semantic_centers", no_centers)
+    out = run()
+    lbl = np.asarray(out.point_labels)
+    assert (lbl == 1).any(), "fallback must re-admit sampled positives"
+    assert (np.asarray(out.point_coords)[lbl == 1] >= 0).all()
+
+    # ---- force the centers-present case: sampled positives are DROPPED
+    def all_centers(*a, **k):
+        c = orig(*a, **k)
+        return c._replace(part_valid=jnp.ones_like(c.part_valid))
+
+    monkeypatch.setattr(eng, "semantic_centers", all_centers)
+    out2 = run()
+    lbl2 = np.asarray(out2.point_labels)
+    n_samp = lbl2.shape[1] - np.asarray(out2.centers.coords).shape[1]
+    assert not (lbl2[:, :n_samp] == 1).any()
+    assert (lbl2[:, n_samp:] == 1).any()
