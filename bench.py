@@ -283,6 +283,11 @@ def main():
         # whose block_until_ready is a no-op (the tunneled axon plugin)
         return float(jnp.sum(o["pseudo_gt_bboxes"]))
 
+    def sync_any(o):
+        # same drain for arbitrary pytrees (variant outputs: metric
+        # dicts, TestOutputs namedtuples)
+        return float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
+
     # ---- phase: compile + warmup ----
     _STATE["phase"] = "compile"
     out = seed(params, img, pts, lbls, valid, img_wh, jax.random.PRNGKey(0))
@@ -405,13 +410,13 @@ def main():
                 tbatch = dict(img=img, gt_points=pts, gt_labels=lbls,
                               gt_valid=valid, img_wh=img_wh)
                 tstate, m = step_fn(tstate, tbatch, jax.random.PRNGKey(0))
-                sync(m)  # compile + warm
+                sync_any(m)  # compile + warm
                 vsteps = 10
                 t0 = time.perf_counter()
                 for i in range(vsteps):
                     tstate, m = step_fn(tstate, tbatch,
                                         jax.random.PRNGKey(300 + i))
-                sync(m)
+                sync_any(m)
                 vdt = max(time.perf_counter() - t0 - rtt, 1e-6)
                 variants[name] = {
                     "img_per_s": round(vsteps * b / vdt, 3),
@@ -431,12 +436,12 @@ def main():
                 def itest(p, im, wh, _m=vmodel):
                     return _m.apply(p, im, wh, method=type(_m).simple_test)
 
-                sync(itest(iparams, img, img_wh))
+                sync_any(itest(iparams, img, img_wh))
                 vsteps = 20
                 t0 = time.perf_counter()
                 for _ in range(vsteps):
                     iout = itest(iparams, img, img_wh)
-                sync(iout)
+                sync_any(iout)
                 vdt = max(time.perf_counter() - t0 - rtt, 1e-6)
                 variants[name] = {
                     "img_per_s": round(vsteps * b / vdt, 3),
@@ -506,7 +511,7 @@ def main():
             vdt = max(time.perf_counter() - t0 - rtt, 1e-6)
             variants[name] = round(vsteps * b / vdt, 3)
         except Exception as e:  # record, don't kill the headline
-            variants[name] = f"error:{type(e).__name__}"
+            variants[name] = f"error:{type(e).__name__}:{str(e)[:160]}"
     if variants:
         _STATE["variants"] = variants
 
