@@ -105,20 +105,25 @@ def random_sample(
     is_pos = assigned_gt > 0
     is_neg = assigned_gt == 0
 
-    def pick(key, mask, cap):
+    # Uniform sampling without replacement == top-k by i.i.d. uniform
+    # score. ``lax.top_k`` (TPU partial-reduce custom call) replaces the
+    # earlier full ``argsort`` over all candidates — at the RPN's 268k
+    # anchors the two argsorts were the train step's largest single ops
+    # (2 x 3.8 ms); top-k with a static cap is ~5x cheaper. The dynamic
+    # count (<= static cap) is applied as a rank mask over the top-k
+    # list, preserving mmdet's exact fill rule.
+    def pick(key, mask, cap_static, cap_dynamic):
         score = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
-        thresh_rank = jnp.argsort(-score)  # best candidates first
-        sel = jnp.zeros((n,), bool).at[thresh_rank[:cap]].set(True)
+        _, idx = jax.lax.top_k(score, cap_static)  # descending, ties by index
+        keep = jnp.arange(cap_static) < cap_dynamic
+        sel = jnp.zeros((n,), bool).at[idx].set(keep)
         return sel & mask
 
-    pos_sel = pick(k_pos, is_pos, pos_cap)
+    pos_sel = pick(k_pos, is_pos, min(pos_cap, n), pos_cap)
     n_pos = pos_sel.sum()
     # mmdet fills the remainder with negatives (num - sampled positives)
     neg_cap = num - jnp.minimum(n_pos, pos_cap)
-    score = jnp.where(is_neg, jax.random.uniform(k_neg, (n,)), -1.0)
-    order = jnp.argsort(-score)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    neg_sel = is_neg & (rank < neg_cap)
+    neg_sel = pick(k_neg, is_neg, min(num, n), neg_cap)
     return SampleResult(pos_sel, neg_sel)
 
 

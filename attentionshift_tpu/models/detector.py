@@ -170,6 +170,16 @@ class AttnShiftDetector(nn.Module):
             dtype=self.dtype,
             name="mil_head",
         )
+        # NOTE (round-5 negative result): wiring use_pallas into these
+        # two decoder heads looked like a win in isolation (block
+        # fwd+bwd 0.39->0.20 ms at the mask head's 196-token shape) but
+        # REGRESSED the full train step by ~15 ms: in-graph, XLA
+        # surrounds every pallas call with physical relayout copies,
+        # token pads (50/196 -> 128/256) and un-pad slices (trace:
+        # 14.4 ms bbox_head + 8.4 ms mask_head of attn+copy+pad+slice
+        # vs ~6 ms total for the jnp path, whose transposes fuse into
+        # the einsums). The heads keep the plumbing for standalone use;
+        # the detector deliberately leaves them on the jnp path.
         self.bbox_head = BoxHeadRec(
             num_classes=self.num_classes, in_channels=self.embed_dim,
             dtype=self.dtype, name="bbox_head",

@@ -15,6 +15,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import Conv3x3Matmul
+
 __all__ = ["FPN"]
 
 
@@ -45,9 +47,11 @@ class FPN(nn.Module):
         ]
         for i in range(n_in - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest2x(laterals[i])
+        # matmul-form 3x3 convs (layout robustness — see Conv3x3Matmul):
+        # parameter-compatible with the nn.Conv they replace
         outs = [
-            nn.Conv(
-                self.out_channels, (3, 3), padding=1, kernel_init=init,
+            Conv3x3Matmul(
+                self.out_channels, kernel_init=init,
                 dtype=self.dtype, name=f"fpn_conv_{i}"
             )(laterals[i])
             for i in range(n_in)

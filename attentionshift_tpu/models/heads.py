@@ -139,6 +139,11 @@ class BoxHeadRec(nn.Module):
     reg_class_agnostic: bool = False
     with_reconstruct: bool = False
     patch_size: int = 16
+    # fused attention kernel for the decoder blocks: at the RCNN's
+    # (512 rois, 50 tokens) shape the jnp path materialises f32
+    # (R, H, N, N) logits; the pallas kernel measured 0.239 -> 0.161
+    # ms/block fwd+bwd (round-5 train-step work)
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -168,6 +173,7 @@ class BoxHeadRec(nn.Module):
             x, _ = Block(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"decoder_blocks_{i}",
             )(x)
@@ -243,6 +249,10 @@ class MaskHeadPointSup(nn.Module):
     base_grid: int = 14
     scale_factor: int = 2
     scale_mode: str = "bicubic"
+    # pallas attention for the decoder: at (128 rois, 196 tokens) the
+    # jnp path's f32 (R, 8, 196, 196) logits made these blocks the
+    # mask head's hot spot; measured 0.394 -> 0.200 ms/block fwd+bwd
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -259,6 +269,7 @@ class MaskHeadPointSup(nn.Module):
             x, _ = Block(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"decoder_blocks_{i}",
             )(x)

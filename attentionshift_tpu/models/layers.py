@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Mlp", "Attention", "Block", "PatchEmbed", "get_2d_sincos_pos_embed", "interpolate_pos_embed"]
+__all__ = ["Mlp", "Attention", "Block", "PatchEmbed", "Conv3x3Matmul", "Deconv2x2Matmul", "get_2d_sincos_pos_embed", "interpolate_pos_embed"]
 
 
 class Mlp(nn.Module):
@@ -199,6 +199,75 @@ class PatchEmbed(nn.Module):
         return _PatchProj(
             self.embed_dim, p, c, dtype=self.dtype, name="proj"
         )(x)  # (B, Hp, Wp, D)
+
+
+class Conv3x3Matmul(nn.Module):
+    """3x3 SAME conv computed as 9 shifted ``(HW, Cin) @ (Cin, Cout)``
+    einsums accumulated in f32.
+
+    Parameter-compatible with ``nn.Conv(features, (3, 3), padding=1)``
+    (same "kernel"/(3,3,Cin,Cout) and "bias" shapes, so checkpoints
+    interchange). Exists for layout robustness, not FLOPs: inside the
+    full train graph XLA ran the stride-4 FPN/RPN convolutions at
+    ~36 TF/s in whatever tiled layout the surrounding graph imposed
+    (fpn_conv_0 fwd+dgrad+wgrad ~6 ms/step at 800x1344), while the same
+    convolution slope-timed 0.55 ms isolated (144 TF/s). Dots force
+    canonical (8,128)-tiled operands, so a relayout copy (~0.05 ms)
+    replaces the 4x-degraded convolution.
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", self.kernel_init, (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                v = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), x.shape)
+                t = jnp.einsum(
+                    "bhwc,cd->bhwd", v, k[dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else acc + t
+        return (acc + bias.astype(jnp.float32)).astype(self.dtype)
+
+
+class Deconv2x2Matmul(nn.Module):
+    """2x2-stride-2 transposed conv as one matmul + pixel shuffle.
+
+    With kernel == stride there is no tap overlap: every output 2x2
+    block is an independent linear map of one input pixel, i.e. a
+    single ``(HW, Cin) @ (Cin, 4*Cout)`` dot plus a reshape.
+    Parameter-compatible with ``nn.ConvTranspose(features, (2, 2),
+    strides=(2, 2))``. Same layout rationale as ``Conv3x3Matmul`` (the
+    ViT fpn1 deconvs measured 2.1 ms/step in-graph vs ~0.15 ms of
+    matmul at the same FLOPs).
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", self.kernel_init, (2, 2, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # flax ConvTranspose applies the spatially MIRRORED kernel
+        # (lax.conv_transpose semantics); flip so parameters interchange
+        k = kernel[::-1, ::-1].astype(self.dtype)
+        y = jnp.einsum(
+            "bhwc,ijcd->bhiwjd", x, k, preferred_element_type=jnp.float32
+        )
+        y = y + bias.astype(jnp.float32)
+        return y.reshape(b, 2 * h, 2 * w, self.features).astype(self.dtype)
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:

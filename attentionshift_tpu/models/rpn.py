@@ -17,9 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core.assign import max_iou_assign, random_sample
+from .layers import Conv3x3Matmul
 from ..core.boxes import bbox2delta, delta2bbox
 from ..core.losses import binary_cross_entropy, l1_loss
 from ..ops.nms import batched_nms
+from ..ops.topk import top_k_set
 
 __all__ = ["RPNHead", "rpn_loss", "rpn_proposals", "Proposals"]
 
@@ -40,8 +42,8 @@ class RPNHead(nn.Module):
         # grow, decoding EVERY proposal off-image (zero valid proposals,
         # detector mAP pinned at 0).
         init = nn.initializers.normal(stddev=0.01)
-        conv = nn.Conv(self.feat_channels, (3, 3), padding=1, kernel_init=init,
-                       dtype=self.dtype, name="rpn_conv")
+        conv = Conv3x3Matmul(self.feat_channels, kernel_init=init,
+                             dtype=self.dtype, name="rpn_conv")
         cls_out = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
                           dtype=self.dtype, name="rpn_cls")
         reg_out = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,
@@ -136,7 +138,15 @@ def rpn_proposals(
         scores = jax.nn.sigmoid(c.reshape(b, n))
         deltas = r.reshape(b, n, 4)
         k = min(nms_pre, n)
-        top_s, top_i = jax.lax.top_k(scores, k)  # (B, k)
+        if n >= 8 * k:
+            # large levels (stride-4: 201k anchors): exact SET selection
+            # by bitwise threshold search instead of lax.top_k's partial
+            # sort (2.9 -> ~0.5 ms/step, round-5 trace). Order is
+            # index-ascending, which is fine here — everything below
+            # gathers by index and the NMS ranks by score itself.
+            top_s, top_i = jax.vmap(lambda s: top_k_set(s, k))(scores)
+        else:
+            top_s, top_i = jax.lax.top_k(scores, k)  # (B, k)
         top_d = jnp.take_along_axis(deltas, top_i[..., None], axis=1)
         top_a = anc[top_i]  # (B, k, 4)
         boxes = delta2bbox(top_a, top_d, max_shape=img_shape)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import Block, PatchEmbed, interpolate_pos_embed
+from .layers import Block, Deconv2x2Matmul, PatchEmbed, interpolate_pos_embed
 
 __all__ = ["VisionTransformerDet"]
 
@@ -195,9 +195,9 @@ class VisionTransformerDet(nn.Module):
         if self.with_fpn:
             feats = [
                 self._fpn1(feats[0]),
-                nn.ConvTranspose(
-                    d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn2_deconv"
-                )(feats[1]),
+                Deconv2x2Matmul(d, dtype=self.dtype, name="fpn2_deconv")(
+                    feats[1]
+                ),
                 feats[2],
                 nn.max_pool(feats[3], (2, 2), strides=(2, 2)),
             ]
@@ -220,12 +220,12 @@ class VisionTransformerDet(nn.Module):
 
     def _fpn1(self, x):
         d = self.embed_dim
-        x = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_deconv1")(x)
+        x = Deconv2x2Matmul(d, dtype=self.dtype, name="fpn1_deconv1")(x)
         x = nn.BatchNorm(
             use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="fpn1_bn"
         )(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_deconv2")(x)
+        x = Deconv2x2Matmul(d, dtype=self.dtype, name="fpn1_deconv2")(x)
         return x
 
 
@@ -333,18 +333,18 @@ def vit_forward_pp(
     ]
     org_feats = jnp.stack(feats, axis=1)
     if model.with_fpn:
-        f0 = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=model.dtype).apply(
+        f0 = Deconv2x2Matmul(d, dtype=model.dtype).apply(
             {"params": params["fpn1_deconv1"]}, feats[0])
         f0 = nn.BatchNorm(
             use_running_average=True, epsilon=1e-5, dtype=model.dtype
         ).apply({"params": params["fpn1_bn"],
                  "batch_stats": bstats["fpn1_bn"]}, f0)
         f0 = nn.gelu(f0, approximate=False)
-        f0 = nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=model.dtype).apply(
+        f0 = Deconv2x2Matmul(d, dtype=model.dtype).apply(
             {"params": params["fpn1_deconv2"]}, f0)
         feats = [
             f0,
-            nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=model.dtype).apply(
+            Deconv2x2Matmul(d, dtype=model.dtype).apply(
                 {"params": params["fpn2_deconv"]}, feats[1]),
             feats[2],
             nn.max_pool(feats[3], (2, 2), strides=(2, 2)),

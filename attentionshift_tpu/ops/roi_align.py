@@ -104,14 +104,23 @@ def roi_align(
 
     if b == 1:
         # single-image batch (the reference's per-chip training batch):
-        # contracting against the shared feature map is ONE dense
-        # (N*S, H) @ (H, C*W) matmul. The general path's
-        # ``feats[batch_idx]`` gather materialises an (N, C, H, W)
-        # per-roi copy (1.65 GB at the train shape) and its transpose
-        # becomes a scatter-add in the backward — the round-4 train-step
-        # trace put that line at ~30 ms/step.
-        tmp = jnp.einsum(
-            "nsh,chw->ncsw", wy, feats[0], preferred_element_type=jnp.float32
+        # contracting against the shared feature map keeps everything
+        # dense. The general path's ``feats[batch_idx]`` gather
+        # materialises an (N, C, H, W) per-roi copy (1.65 GB at the
+        # train shape) and its transpose becomes a scatter-add in the
+        # backward — the round-4 train-step trace put that line at
+        # ~30 ms/step. One THREE-operand einsum (round 5) lets XLA pick
+        # the association and the intermediate layout jointly: the
+        # hand-staged two-step form forced an (N, C, S, W) intermediate
+        # whose layout mismatched the second dot (a 925 MB relayout
+        # copy, ~1.4 ms/step); fwd+bwd measured 2.70 -> 2.12 ms at the
+        # 512-roi 7x7 bench shape, 0.38 -> 0.20 ms at the mask head's
+        # 128-roi 14x14. Weights ride in the feature dtype; both
+        # contractions accumulate in f32.
+        crops = jnp.einsum(
+            "nsh,chw,ntw->ncst",
+            wy.astype(feats.dtype), feats[0], wx.astype(feats.dtype),
+            preferred_element_type=jnp.float32,
         )
     else:
         per_roi_feats = feats[batch_idx]  # (N, C, H, W)
@@ -120,12 +129,13 @@ def roi_align(
             "nsh,nchw->ncsw", wy, per_roi_feats,
             preferred_element_type=jnp.float32,
         )
-    # the (N, C, S, W) intermediate is the dominant HBM cost of the
-    # separable form; store it in the feature dtype (bf16 on TPU) —
-    # interpolation weights are exact in bf16's range and the second
-    # contraction accumulates in f32
-    tmp = tmp.astype(feats.dtype)
-    crops = jnp.einsum("ncsw,ntw->ncst", tmp, wx, preferred_element_type=jnp.float32)
+        # the (N, C, S, W) intermediate is the dominant HBM cost of the
+        # separable form; store it in the feature dtype (bf16 on TPU) —
+        # the second contraction accumulates in f32
+        tmp = tmp.astype(feats.dtype)
+        crops = jnp.einsum(
+            "ncsw,ntw->ncst", tmp, wx, preferred_element_type=jnp.float32
+        )
     # average pool the sr x sr samples inside each bin
     crops = crops.reshape(n, c, out, sr, out, sr).mean(axis=(3, 5))
     return crops.astype(feats.dtype)

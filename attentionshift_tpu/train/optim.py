@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 
 __all__ = [
+    "apply_if_finite_fused",
     "vit_layer_id",
     "lr_scale_tree",
     "weight_decay_mask",
@@ -141,6 +142,66 @@ def step_lr_schedule(
     return sched
 
 
+def apply_if_finite_fused(
+    inner: optax.GradientTransformation, max_consecutive_errors: int
+) -> optax.GradientTransformation:
+    """``optax.apply_if_finite`` without the ``lax.cond``.
+
+    Identical accept/reject logic, bit-exact state evolution, and the
+    same ``ApplyIfFiniteState`` (checkpoints interchange; update values
+    agree to float rounding), but the gate is a
+    per-leaf ``where`` select instead of a conditional: the round-5
+    train-step trace showed optax's ``lax.cond`` copying the full
+    optimizer state through the branch (~2.5 GB accessed, ~2 ms/step at
+    the bench shape), while selects fuse into the per-leaf optimizer
+    fusions for free. The inner update always runs; on a rejected step
+    its (NaN-poisoned) outputs are discarded by the select, exactly as
+    the cond's untaken branch would have been.
+    """
+    inner = optax.with_extra_args_support(inner)
+
+    def init(params):
+        return optax.ApplyIfFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            last_finite=jnp.array(True, jnp.bool_),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def update(updates, state, params=None, **extra):
+        leaves = jax.tree.leaves(updates)
+        isfinite = jnp.all(
+            jnp.array([jnp.all(jnp.isfinite(p)) for p in leaves])
+        )
+        notfinite_count = jnp.where(
+            isfinite,
+            jnp.zeros([], jnp.int32),
+            optax.safe_increment(state.notfinite_count),
+        )
+        accept = jnp.logical_or(isfinite, notfinite_count > max_consecutive_errors)
+        new_updates, new_inner = inner.update(
+            updates, state.inner_state, params, **extra
+        )
+        out_updates = jax.tree.map(
+            lambda u: jnp.where(accept, u, jnp.zeros_like(u)), new_updates
+        )
+        out_inner = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old),
+            new_inner, state.inner_state,
+        )
+        return out_updates, optax.ApplyIfFiniteState(
+            notfinite_count=notfinite_count,
+            last_finite=isfinite,
+            total_notfinite=jnp.where(
+                isfinite, state.total_notfinite,
+                optax.safe_increment(state.total_notfinite),
+            ),
+            inner_state=out_inner,
+        )
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def _scale_by_tree(scales: Any) -> optax.GradientTransformation:
     def init_fn(params):
         del params
@@ -194,7 +255,7 @@ def build_optimizer(
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     if skip_nonfinite is not None:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+        tx = apply_if_finite_fused(tx, max_consecutive_errors=skip_nonfinite)
     return tx
 
 
@@ -235,5 +296,5 @@ def build_sgd_optimizer(
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     if skip_nonfinite is not None:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+        tx = apply_if_finite_fused(tx, max_consecutive_errors=skip_nonfinite)
     return tx

@@ -409,8 +409,14 @@ def main():
                 step_fn = make_train_step(vmodel, donate=False)
                 tbatch = dict(img=img, gt_points=pts, gt_labels=lbls,
                               gt_valid=valid, img_wh=img_wh)
+                # warm TWICE: the first call's host-layout inputs make
+                # XLA emit a second executable when the returned state
+                # (device layouts) is fed back — one more compile, no
+                # retrace. Timing must start after layouts stabilise.
                 tstate, m = step_fn(tstate, tbatch, jax.random.PRNGKey(0))
-                sync_any(m)  # compile + warm
+                sync_any(m)  # compile + warm (host-layout executable)
+                tstate, m = step_fn(tstate, tbatch, jax.random.PRNGKey(1))
+                sync_any(m)  # device-layout executable
                 vsteps = 10
                 t0 = time.perf_counter()
                 for i in range(vsteps):

@@ -274,3 +274,41 @@ def test_checkpoint_url_loading(tmp_path):
         assert not os.path.exists(local2)
     finally:
         del os.environ["ATTNSHIFT_CKPT_CACHE"]
+
+
+# ------------------------------------------------- matmul-form convolutions
+def test_conv3x3_matmul_matches_nn_conv():
+    """Conv3x3Matmul is parameter- and value-compatible with
+    nn.Conv(features, (3,3), padding=1) — checkpoints interchange."""
+    import flax.linen as nn
+
+    from attentionshift_tpu.models.layers import Conv3x3Matmul
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 9, 11, 6), jnp.float32)
+    ref = nn.Conv(8, (3, 3), padding=1)
+    mine = Conv3x3Matmul(8)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(ref.apply(p, x)), np.asarray(mine.apply(p, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+    # and the reverse: params initialised by the matmul form feed nn.Conv
+    p2 = mine.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(ref.apply(p2, x)), np.asarray(mine.apply(p2, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_deconv2x2_matmul_matches_nn_convtranspose():
+    import flax.linen as nn
+
+    from attentionshift_tpu.models.layers import Deconv2x2Matmul
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 7, 5, 6), jnp.float32)
+    ref = nn.ConvTranspose(9, (2, 2), strides=(2, 2))
+    mine = Deconv2x2Matmul(9)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    a, b = ref.apply(p, x), mine.apply(p, x)
+    assert a.shape == b.shape == (2, 14, 10, 9)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)

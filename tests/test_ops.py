@@ -408,3 +408,49 @@ def test_nms_fixpoint_matches_sequential_greedy():
         rk, rv = greedy_ref(boxes, scores, thr, mo, valid.copy())
         assert np.array_equal(np.asarray(kv), rv), trial
         assert np.array_equal(np.asarray(ki)[rv], rk[rv]), trial
+
+
+# ---------------------------------------------------------------- top_k_set
+def test_top_k_set_matches_lax_top_k():
+    """Exact-set parity with lax.top_k (incl. duplicate scores: ties at
+    the k-th value resolve to lowest indices), across sizes/k."""
+    import jax
+
+    from attentionshift_tpu.ops.topk import top_k_set
+
+    rng = np.random.RandomState(0)
+    for n, k in [(50, 5), (1000, 100), (4096, 2000), (20000, 512)]:
+        for trial in range(3):
+            if trial == 2:
+                # heavy ties: quantised scores force k-th-value ties
+                s = np.round(rng.rand(n) * 8) / 8.0
+            else:
+                s = rng.randn(n)
+            s = jnp.asarray(s, jnp.float32)
+            vals, idx = top_k_set(s, k)
+            ref_v, ref_i = jax.lax.top_k(s, k)
+            assert sorted(np.asarray(idx).tolist()) == sorted(
+                np.asarray(ref_i).tolist()
+            ), (n, k, trial)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(vals)), np.sort(np.asarray(ref_v))
+            )
+            # ascending index order, values consistent with indices
+            assert (np.diff(np.asarray(idx)) > 0).all()
+            np.testing.assert_array_equal(
+                np.asarray(vals), np.asarray(s)[np.asarray(idx)]
+            )
+
+
+def test_top_k_set_negative_and_full():
+    import jax
+
+    from attentionshift_tpu.ops.topk import top_k_set
+
+    s = jnp.asarray([-5.0, -1.0, -3.0, -2.0], jnp.float32)
+    vals, idx = top_k_set(s, 2)
+    ref_v, ref_i = jax.lax.top_k(s, 2)
+    assert sorted(np.asarray(idx).tolist()) == sorted(np.asarray(ref_i).tolist())
+    # k == n passes through
+    vals, idx = top_k_set(s, 4)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(4))

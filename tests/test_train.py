@@ -106,6 +106,41 @@ def test_restore_params_ignores_optimizer_layout(tmp_path):
                                   np.asarray(state.params["w"]))
 
 
+def test_apply_if_finite_fused_matches_optax():
+    """The select-gated non-finite guard (train-step perf: replaces
+    optax's state-copying ``lax.cond``) is update- and state-identical
+    to ``optax.apply_if_finite`` across finite, rejected, and
+    give-up-accept steps."""
+    import optax
+
+    from attentionshift_tpu.train.optim import apply_if_finite_fused
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    inner = optax.adam(1e-2)
+    ref = optax.apply_if_finite(inner, max_consecutive_errors=2)
+    fused = apply_if_finite_fused(inner, max_consecutive_errors=2)
+    sr, sf = ref.init(params), fused.init(params)
+
+    fin = {"w": jnp.full((4,), 0.5), "b": jnp.full((2,), -0.25)}
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 2.0, 3.0]), "b": jnp.full((2,), 1.0)}
+    # finite, 2 rejected, then the give-up accept (count > 2), finite
+    for g in (fin, bad, bad, bad, bad, fin):
+        ur, sr = ref.update(g, sr, params)
+        uf, sf = fused.update(g, sf, params)
+        # updates agree to float rounding (optax compiles the inner
+        # update inside lax.cond -> fused math; ~1 ulp vs eager)
+        for a, b in zip(jax.tree.leaves(ur), jax.tree.leaves(uf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       equal_nan=True, rtol=1e-5, atol=1e-8)
+        assert int(sr.notfinite_count) == int(sf.notfinite_count)
+        assert bool(sr.last_finite) == bool(sf.last_finite)
+        assert int(sr.total_notfinite) == int(sf.total_notfinite)
+        for a, b in zip(jax.tree.leaves(sr.inner_state),
+                        jax.tree.leaves(sf.inner_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       equal_nan=True, atol=0)
+
+
 def test_nonfinite_gradients_skip_step():
     """apex-AMP overflow-skip parity: inf/NaN grads leave the state
     untouched and training resumes on the next finite step."""
