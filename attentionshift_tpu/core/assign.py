@@ -28,7 +28,7 @@ from .lsa import linear_sum_assignment
 
 __all__ = [
     "max_iou_assign",
-    "random_sample",
+    "random_sample", "random_sample_idx",
     "hungarian_point_assign",
     "AssignResult",
     "SampleResult",
@@ -87,6 +87,47 @@ def max_iou_assign(
 class SampleResult(NamedTuple):
     pos_mask: jnp.ndarray  # (N,) bool: sampled positives
     neg_mask: jnp.ndarray  # (N,) bool: sampled negatives
+
+
+class SampleIdxResult(NamedTuple):
+    pos_idx: jnp.ndarray  # (P,) int32 sampled positive indices
+    pos_valid: jnp.ndarray  # (P,) bool slot validity
+    neg_idx: jnp.ndarray  # (Q,) int32 sampled negative indices
+    neg_valid: jnp.ndarray  # (Q,) bool
+
+
+def random_sample_idx(
+    rng: jax.Array,
+    assigned_gt: jnp.ndarray,
+    num: int,
+    pos_fraction: float,
+) -> SampleIdxResult:
+    """``random_sample`` in compact-index form: identical selection law
+    (same RNG draws, same top-k-by-uniform-score rule), but the result
+    is the fixed-size LIST of sampled indices instead of (N,) masks.
+
+    Consumers that only touch the sampled anchors (the RPN loss) gather
+    those few rows instead of computing targets over every anchor —
+    at the RPN's 268k-anchor plane the dense form spent ~1.5 ms/step on
+    gathers/deltas that were then weight-masked down to 256 rows.
+    """
+    n = assigned_gt.shape[0]
+    pos_cap = int(num * pos_fraction)
+    k_pos, k_neg = jax.random.split(rng)
+    is_pos = assigned_gt > 0
+    is_neg = assigned_gt == 0
+
+    def pick(key, mask, cap_static, cap_dynamic):
+        score = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
+        top_s, idx = jax.lax.top_k(score, cap_static)
+        valid = (jnp.arange(cap_static) < cap_dynamic) & (top_s > -1.0)
+        return idx.astype(jnp.int32), valid
+
+    pos_idx, pos_valid = pick(k_pos, is_pos, min(pos_cap, n), pos_cap)
+    n_pos = pos_valid.sum()
+    neg_cap = num - jnp.minimum(n_pos, pos_cap)
+    neg_idx, neg_valid = pick(k_neg, is_neg, min(num, n), neg_cap)
+    return SampleIdxResult(pos_idx, pos_valid, neg_idx, neg_valid)
 
 
 def random_sample(

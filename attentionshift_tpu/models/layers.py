@@ -84,16 +84,23 @@ class Attention(nn.Module):
             out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
             return out, attn_mean
 
+        # bf16 models materialise the (N, N) logits in bf16 (the softmax
+        # still runs its max/exp/sum chain through f32 converts fused
+        # in-register): at the mask decoder's (128 rois, 8 heads, 196,
+        # 196) shape the f32 logits tensor alone was 157 MB and its
+        # softmax staging ~1 ms/block in the round-5 train-step trace.
+        # f32 models keep exact f32 logits (CPU parity tests).
+        pet = jnp.float32 if q.dtype == jnp.float32 else q.dtype
         logits = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=pet
         )
         if self.pad_interval is not None:
             lo, hi = self.pad_interval
             col = jnp.arange(n)
             logits = logits + jnp.where(
                 (col >= lo) & (col < hi), -1e30, 0.0
-            ).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
+            ).astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         out = jnp.einsum(
             "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,

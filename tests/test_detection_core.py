@@ -129,6 +129,28 @@ def test_random_sample_pos_cap():
     assert int(s.neg_mask.sum()) == 128
 
 
+def test_random_sample_idx_matches_mask_form():
+    """random_sample_idx (compact-index form, used by the RPN loss) and
+    random_sample (mask form) make the IDENTICAL selection for the same
+    key — same RNG draws, same top-k-by-uniform rule."""
+    from attentionshift_tpu.core.assign import random_sample_idx
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        n = [40, 600, 600, 3000][trial]
+        assigned = jnp.asarray(
+            rng.choice([-1, 0, 1, 2], size=n, p=[0.1, 0.7, 0.1, 0.1]),
+            jnp.int32,
+        )
+        key = jax.random.PRNGKey(trial)
+        m = random_sample(key, assigned, num=64, pos_fraction=0.25)
+        s = random_sample_idx(key, assigned, num=64, pos_fraction=0.25)
+        pos_idx = set(np.asarray(s.pos_idx)[np.asarray(s.pos_valid)].tolist())
+        neg_idx = set(np.asarray(s.neg_idx)[np.asarray(s.neg_valid)].tolist())
+        assert pos_idx == set(np.flatnonzero(np.asarray(m.pos_mask)).tolist())
+        assert neg_idx == set(np.flatnonzero(np.asarray(m.neg_mask)).tolist())
+
+
 # ---------------------------------------------------------------- hungarian
 def test_hungarian_point_assign_vs_scipy():
     rng = np.random.RandomState(3)
