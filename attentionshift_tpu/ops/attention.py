@@ -361,6 +361,167 @@ def attention_no_capture(q, k, v, use_pallas: bool = True, interpret: bool = Fal
     return out[:, :, :t] if pad else out
 
 
+def _bwd_kernel_dq(q_ref, k_ref, v_ref, do_ref, dq_ref, recip_ref, dd_ref, *,
+                   num_heads, pad_lo, pad_hi, t_real=None):
+    """Backward pass A: one q-tile -> dQ tile + per-row recip/D.
+
+    Flash-style: the (TQ, Tpad) probability/gradient tiles live only in
+    VMEM; nothing (T, T)-shaped ever reaches HBM. Row sums (recip) and
+    row dots (D = sum_s p*gp) are emitted for pass B, which processes
+    key tiles and cannot afford full-row reductions.
+    """
+    bias = _pad_bias(k_ref.shape[2], pad_lo, pad_hi, t_real)
+    d = q_ref.shape[-1]
+    scale = jnp.asarray(d**-0.5 * _LOG2E, q_ref.dtype)
+    for h in range(num_heads):
+        qs = q_ref[0, h] * scale  # (TQ, d)
+        s = jax.lax.dot_general(
+            qs, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias  # (TQ, Tpad)
+        e = jnp.exp2(jnp.minimum(s, 100.0)).astype(q_ref.dtype)
+        recip = 1.0 / jnp.maximum(
+            jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True), 1e-30
+        )  # (TQ, 1) f32
+        pm = (e.astype(jnp.float32) * recip).astype(e.dtype)
+        gp = jax.lax.dot_general(
+            do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, Tpad)
+        dd = jnp.sum(pm.astype(jnp.float32) * gp, axis=-1, keepdims=True)
+        glm = (pm.astype(jnp.float32) * (gp - dd)).astype(e.dtype)
+        dq = jax.lax.dot_general(
+            glm, k_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (d**-0.5)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        recip_ref[0, h] = recip[:, 0]
+        dd_ref[0, h] = dd[:, 0]
+
+
+def _bwd_kernel_dkv(q_ref, k_ref, v_ref, do_ref, recip_ref, dd_ref,
+                    dk_ref, dv_ref, *, num_heads, pad_lo, pad_hi,
+                    tile_s, t_real=None):
+    """Backward pass B: one key tile -> dK/dV tiles.
+
+    Recomputes the probability COLUMNS (all rows x this key tile) from
+    resident Q/dO plus pass A's per-row recip/D; contracts over rows.
+    The column pad mask must be applied here too (mid-sequence gap
+    columns are NOT sliced away downstream — their dk/dv feed the qkv
+    projection grads and must be exactly zero, as p == 0 there).
+    """
+    si = pl.program_id(1)
+    d = q_ref.shape[-1]
+    scale = jnp.asarray(d**-0.5 * _LOG2E, q_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_s), 1) + si * tile_s
+    real = (col < pad_lo) | (col >= pad_hi)
+    if t_real is not None:
+        real = real & (col < t_real)
+    bias = jnp.where(real, -_SOFTMAX_SHIFT, -1e30).astype(jnp.float32)
+    for h in range(num_heads):
+        qs = q_ref[0, h] * scale  # (Tpad, d)
+        s = jax.lax.dot_general(
+            qs, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias  # (Tpad, TS)
+        e = jnp.exp2(jnp.minimum(s, 100.0))
+        pm = (e * recip_ref[0, h][:, None]).astype(q_ref.dtype)  # (Tpad, TS)
+        gp = jax.lax.dot_general(
+            do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tpad, TS)
+        glm = (pm.astype(jnp.float32)
+               * (gp - dd_ref[0, h][:, None])).astype(q_ref.dtype)
+        dv = jax.lax.dot_general(
+            pm, do_ref[0, h], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TS, d)
+        dk = jax.lax.dot_general(
+            glm, q_ref[0, h], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (d**-0.5)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_backward(q, k, v, g_out, tile_q: int = 128, interpret: bool = False,
+                     pad_interval=None):
+    """Flash-style attention backward: (dq, dk, dv), no (T, T) in HBM.
+
+    Replaces the staged jnp backward for the pallas path: the staging
+    form materialised 4+ (B, H, T, T) tensors per layer (~1.4 ms/layer
+    bandwidth-bound at the bench shape, ~17 ms/step over 12 layers);
+    both backward kernels keep every (T,)-wide tile VMEM-resident.
+    Exactness: identical constant-shift exp2 recompute and f32
+    accumulation as the staged form; parity pinned by
+    ``test_attention_backward_matches_softmax_grads``.
+    """
+    b, h, t, d = q.shape
+    tpad = ((t + tile_q - 1) // tile_q) * tile_q
+    pad = tpad - t
+    pad_lo, pad_hi = pad_interval if pad_interval is not None else (t, tpad)
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        g_out = jnp.pad(g_out, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    dq, recip, dd = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_dq, num_heads=h, pad_lo=pad_lo, pad_hi=pad_hi, t_real=t
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tpad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tpad), jnp.float32),
+        ),
+        grid=(b, tpad // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, tile_q), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, h, tile_q), lambda bi, qi: (bi, 0, qi)),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(q, k, v, g_out)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_dkv, num_heads=h, pad_lo=pad_lo, pad_hi=pad_hi,
+            tile_s=tile_q, t_real=t,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tpad, d), q.dtype),
+        ),
+        grid=(b, tpad // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, h, tpad, d), lambda bi, si: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, si: (bi, 0, si, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, si: (bi, 0, si, 0)),
+            pl.BlockSpec((1, h, tpad, d), lambda bi, si: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, tpad), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, h, tpad), lambda bi, si: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, si: (bi, 0, si, 0)),
+            pl.BlockSpec((1, h, tile_q, d), lambda bi, si: (bi, 0, si, 0)),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(q, k, v, g_out, recip, dd)
+
+    if pad:
+        return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t]
+    return dq, dk, dv
+
+
 def _nc_fwd(q, k, v, use_pallas, interpret, pad_interval):
     return attention_no_capture(q, k, v, use_pallas, interpret, pad_interval), (q, k, v)
 
@@ -399,6 +560,15 @@ def _fwd(q, k, v, use_pallas, interpret, pad_interval):
 
 def _bwd(use_pallas, interpret, pad_interval, res, grads):
     q, k, v = res
+    if use_pallas and q.shape[-1] % 8 == 0:
+        # flash-style two-kernel backward: nothing (T, T)-shaped
+        # touches HBM (see _pallas_backward). The staged jnp form below
+        # remains the exact-f32 fallback for non-pallas models.
+        dq, dk, dv = _pallas_backward(
+            q, k, v, grads[0].astype(q.dtype),
+            interpret=interpret, pad_interval=pad_interval,
+        )
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
     # matmul operands AND the recomputed (T, T) stages ride the storage
     # dtype (bf16 on TPU) with f32 accumulation. The softmax recompute
     # uses the forward kernel's constant-shift exp2 scheme (row-max-free

@@ -268,3 +268,56 @@ def test_attention_backward_matches_softmax_grads():
         for a, b, nme in zip(gr, go, "qkv"):
             diff = float(jnp.max(jnp.abs(a - b)))
             assert diff < 3e-5, (pad, nme, diff)
+
+
+def test_flash_backward_matches_softmax_grads():
+    """The round-5 flash-style two-kernel pallas backward (no (T,T) in
+    HBM) must match jax.grad of the plain-softmax reference, padded and
+    unpadded, incl. the mid-sequence pad-gap columns (their dk/dv must
+    be exactly the reference's zeros). Interpret mode = CPU."""
+    import jax
+
+    from attentionshift_tpu.ops import attention as att
+
+    rng = np.random.RandomState(0)
+    B, H, T, D = 2, 3, 37, 8
+    q, k, v, g = (jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+                  for _ in range(4))
+
+    for pad in (None, (30, 37)):
+        ref = lambda q, k, v: att._jnp_reference(q, k, v, pad)[0]
+        ours = lambda q, k, v: att.attention_no_capture(
+            q, k, v, use_pallas=True, interpret=True, pad_interval=pad)
+        gr = jax.vjp(ref, q, k, v)[1](g)
+        # pad-gap rows of the upstream grad are zero in the real model
+        # (gap outputs have no consumers); zero them for the comparison
+        gz = g
+        if pad is not None:
+            lo, hi = pad
+            gz = g.at[:, :, lo:hi].set(0.0)
+            gr = jax.vjp(ref, q, k, v)[1](gz)
+        go = jax.vjp(ours, q, k, v)[1](gz)
+        for a, b, nme in zip(gr, go, "qkv"):
+            diff = float(jnp.max(jnp.abs(a - b)))
+            assert diff < 3e-5, (pad, nme, diff)
+
+
+def test_flash_backward_capture_variant():
+    """Same flash backward through attention_with_capture (the capture
+    kernel's custom VJP shares _bwd); mean-probs output is detached."""
+    import jax
+
+    from attentionshift_tpu.ops import attention as att
+
+    rng = np.random.RandomState(1)
+    B, H, T, D = 1, 2, 40, 8
+    q, k, v, g = (jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+                  for _ in range(4))
+    ref = lambda q, k, v: att._jnp_reference(q, k, v, None)[0]
+    ours = lambda q, k, v: att.attention_with_capture(
+        q, k, v, True, True, None)[0]
+    gr = jax.vjp(ref, q, k, v)[1](g)
+    go = jax.vjp(ours, q, k, v)[1](g)
+    for a, b, nme in zip(gr, go, "qkv"):
+        diff = float(jnp.max(jnp.abs(a - b)))
+        assert diff < 3e-5, (nme, diff)
