@@ -52,6 +52,17 @@ def make_sample(rng, i, corpus: str = "discs"):
     VERDICT r4 #5)."""
     img = rng.randn(H, W, 3).astype(np.float32) * 0.1
     yy, xx = np.mgrid[:H, :W]
+    if corpus == "lobes-tex":
+        # textured background (low-frequency color fields): forces the
+        # backbone to learn locally-discriminative embeddings, which is
+        # what the 0.85 fg-occupancy prototype filter needs — on the
+        # flat corpora the prototypes' >0.8-similarity regions spread
+        # over the (self-similar) background and every prototype is
+        # rejected (round-5 probe: occupancy ~0.1 flat, ~0.7 textured
+        # with an OOD checkpoint)
+        for c in range(3):
+            f1, f2 = rng.rand(2) * 0.02 + 0.005
+            img[..., c] += 0.6 * np.sin(2 * np.pi * (f1 * xx + f2 * yy + rng.rand()))
     pts, lbls, masks, boxes = [], [], [], []
     for j in range(2):
         cx, cy = rng.randint(100, 412), rng.randint(100, 412)
@@ -60,10 +71,17 @@ def make_sample(rng, i, corpus: str = "discs"):
         color = np.zeros(3)
         color[(i + j) % 3] = 2.5
         img[blob] += color
-        if corpus == "lobes":
+        if corpus in ("lobes", "lobes-tex"):
             dx = int(r * 0.8)
             lobe2 = ((xx - cx - dx) ** 2 + (yy - cy) ** 2) < (r * 0.7) ** 2
             img[lobe2] += np.roll(color, 1) * 0.8  # distinct part tone
+            if corpus == "lobes-tex":
+                # strong high-frequency texture, distinct per lobe
+                tex = np.sin(2 * np.pi * 0.08 * (
+                    xx * np.cos(rng.rand() * 3) + yy * np.sin(rng.rand() * 3)))
+                img[blob] += (1.2 * tex[..., None] * color[None, :])[blob]
+                tex2 = np.sin(2 * np.pi * 0.15 * (xx + yy))
+                img[lobe2] += (0.9 * tex2[..., None] * np.roll(color, 1)[None, :])[lobe2]
             blob = blob | lobe2
         pts.append([cx, cy])
         lbls.append((i + j) % 3)
@@ -96,7 +114,7 @@ def main():
     ap.add_argument("--f32", action="store_true", help="float32 model")
     ap.add_argument("--train-images", type=int, default=8,
                     help="size of the synthetic training corpus")
-    ap.add_argument("--corpus", default="discs", choices=["discs", "lobes"],
+    ap.add_argument("--corpus", default="discs", choices=["discs", "lobes", "lobes-tex"],
                     help="instance shape: uniform discs (historical) or "
                          "two-lobed part-structured instances")
     ap.add_argument("--det-eval", action="store_true",
